@@ -1,0 +1,96 @@
+"""Benchmark: VER volume generation throughput on one chip.
+
+Measures the north-star metric (BASELINE.json): volumes/sec/chip for the
+36-view VER lift — the full get_occ inference path (encoder lift + DETR
+decoder + coarse-to-fine occupancy head) on 36 ViT views per viewpoint.
+Warmup + synced timing mirror the reference benchmark CLI
+(tools/analysis_tools/benchmark.py:69-94).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so round 1 establishes
+the baseline: vs_baseline is this run's value divided by the round-1
+recorded value when available (BENCH_r1.json), else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # persistent compile cache: full-size compiles through the axon tunnel
+    # take minutes; cache them across runs
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from vln_ver_tpu.models import VERConfig, VoxelFormer
+    from __graft_entry__ import _example_inputs
+
+    import jax.numpy as jnp
+
+    # 36-view panorama variant (north-star workload); bf16 compute.
+    cfg = VERConfig(num_cams=36, dtype=jnp.bfloat16)
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    warmup = 3
+
+    model = VoxelFormer(cfg)
+    feats, w2p, shift = _example_inputs(cfg, batch=batch)
+    params = model.init(jax.random.PRNGKey(0), feats[:1], w2p[:1],
+                        shift[:1])
+
+    # NOTE: the remote (axon) backend does not reliably block in
+    # block_until_ready; reduce to a scalar on device and fetch it to force
+    # completion of every timed iteration.
+    @jax.jit
+    def forward(params, feats, w2p, shift):
+        outs = model.apply(params, feats, w2p, shift, deterministic=True)
+        return (jnp.sum(outs["bev_embed"].astype(jnp.float32))
+                + jnp.sum(outs["occupancy_preds"].astype(jnp.float32)))
+
+    for _ in range(warmup):
+        out = float(forward(params, feats, w2p, shift))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = float(forward(params, feats, w2p, shift))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(out)
+
+    volumes_per_sec = batch * iters / dt
+
+    vs_baseline = 1.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_r1.json")
+    if os.path.exists(base_path):
+        try:
+            with open(base_path) as f:
+                base = json.load(f)
+            if base.get("value"):
+                vs_baseline = volumes_per_sec / float(base["value"])
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": "ver_volumes_per_sec_per_chip_36view",
+        "value": round(volumes_per_sec, 4),
+        "unit": "volumes/s",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

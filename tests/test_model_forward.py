@@ -1,0 +1,124 @@
+"""Smoke tests: init + forward of the full VoxelFormer on tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vln_ver_tpu import geometry
+from vln_ver_tpu.models import VERConfig, VoxelFormer
+
+TINY = VERConfig(
+    bev_z=2, bev_h=4, bev_w=4,
+    # occ dims (z, y, x) = (8, 8, 8): one x2 upsample stage in h/w
+    occupancy_size=(1.5, 1.5, 0.4375),
+    num_cams=2, feat_h=4, feat_w=4, in_channels=32,
+    embed_dims=32, num_heads=4, encoder_layers=2, decoder_layers=2,
+    ffn_dim=64, num_query=12, num_layout_query=3, occ_dims=16,
+)
+
+
+def _tiny_batch(b=1, cfg=TINY):
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal(
+        (b, cfg.num_cams, cfg.feat_h, cfg.feat_w, cfg.in_channels)
+    ).astype(np.float32)
+    w2p = np.stack([
+        np.stack([
+            geometry.make_pinhole_world2pixel(90.0, 180.0 * i, (0, 0, 0))
+            for i in range(cfg.num_cams)
+        ]) for _ in range(b)
+    ])
+    shift = np.zeros((b, 3), np.float32)
+    return (jnp.asarray(feats), jnp.asarray(w2p), jnp.asarray(shift))
+
+
+def test_tiny_occ_dims():
+    assert TINY.occ_zdim == 8 and TINY.occ_ydim == 8 and TINY.occ_xdim == 8
+    assert TINY.voxel_num == 512
+
+
+def test_forward_shapes_default_mode():
+    model = VoxelFormer(TINY)
+    batch = _tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), *batch)
+    outs = model.apply(params, *batch)
+    assert outs["bev_embed"].shape == (1, TINY.bev_num, TINY.embed_dims)
+    assert outs["all_cls_scores"].shape == (
+        TINY.decoder_layers, 1, TINY.num_query, TINY.num_classes)
+    assert outs["all_bbox_preds"].shape == (
+        TINY.decoder_layers, 1, TINY.num_query, TINY.code_size)
+    assert outs["occupancy_preds"].shape == (
+        1, TINY.voxel_num, TINY.occupancy_classes)
+    # box centres must land inside pc_range after decode
+    bb = np.asarray(outs["all_bbox_preds"])
+    assert (bb[..., 0] >= TINY.pc_range[0]).all()
+    assert (bb[..., 0] <= TINY.pc_range[3]).all()
+    assert (bb[..., 4] >= TINY.pc_range[2]).all()
+    assert (bb[..., 4] <= TINY.pc_range[5]).all()
+    for v in jax.tree.leaves(outs):
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_forward_only_bev():
+    model = VoxelFormer(TINY)
+    batch = _tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), *batch)
+    outs = model.apply(params, *batch, only_bev=True)
+    assert set(outs) == {"bev_embed"}
+    assert outs["bev_embed"].shape == (1, TINY.bev_num, TINY.embed_dims)
+
+
+def test_forward_add_layout():
+    import dataclasses
+    cfg = dataclasses.replace(TINY, add_layout=True)
+    model = VoxelFormer(cfg)
+    batch = _tiny_batch(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0), *batch)
+    outs = model.apply(params, *batch)
+    assert outs["all_layout_preds"].shape == (
+        cfg.decoder_layers, 1, cfg.num_query, cfg.code_size)
+
+
+def test_forward_only_occ():
+    import dataclasses
+    cfg = dataclasses.replace(TINY, only_occ=True, refine_occ=False)
+    model = VoxelFormer(cfg)
+    batch = _tiny_batch(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0), *batch)
+    outs = model.apply(params, *batch)
+    assert outs["all_cls_scores"] is None
+    # only_occ with bev grid != occ grid predicts at coarse h/w resolution
+    assert outs["occupancy_preds"].shape == (
+        1, cfg.occ_zdim * cfg.bev_h * cfg.bev_w, cfg.occupancy_classes)
+
+
+def test_forward_deterministic_dropout_rngs():
+    model = VoxelFormer(TINY)
+    batch = _tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), *batch)
+    out1 = model.apply(params, *batch, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    out2 = model.apply(params, *batch, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(2)})
+    # different dropout rngs must give different activations
+    assert not np.allclose(np.asarray(out1["all_cls_scores"]),
+                           np.asarray(out2["all_cls_scores"]))
+
+
+@pytest.mark.slow
+def test_forward_full_size_jits():
+    cfg = VERConfig()
+    model = VoxelFormer(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal(
+        (1, 6, 14, 14, 768)).astype(np.float32))
+    w2p = jnp.asarray(np.stack([[
+        geometry.make_pinhole_world2pixel(60.0, 60.0 * i, (0, 0, 0))
+        for i in range(6)]]))
+    shift = jnp.zeros((1, 3))
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), feats, w2p, shift))
+    n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
+    # reference scale is O(100M) params
+    assert 50e6 < n_params < 500e6

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""FPS benchmark CLI — warmup + synced timing, mirroring the reference
+tools/analysis_tools/benchmark.py:69-94 (5-iter warmup, device-synced
+wall-clock, average samples/s).
+
+Usage:
+  python tools/benchmark.py [configs/verformer/vocc.py] [--num-cams N]
+      [--batch-size B] [--iters N] [--bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config", nargs="?", default=None)
+    p.add_argument("--num-cams", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--mode", choices=["full", "bev"], default="full")
+    args = p.parse_args()
+
+    from vln_ver_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vln_ver_tpu.models import VERConfig, VoxelFormer
+    from __graft_entry__ import _example_inputs
+
+    if args.config:
+        from vln_ver_tpu.config import build_ver_config, load_config
+        overrides = {}
+        if args.num_cams:
+            overrides["num_cams"] = args.num_cams
+        if args.bf16:
+            overrides["dtype"] = jnp.bfloat16
+        cfg = build_ver_config(load_config(args.config), **overrides)
+    else:
+        cfg = VERConfig(
+            num_cams=args.num_cams or 6,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    model = VoxelFormer(cfg)
+    feats, w2p, shift = _example_inputs(cfg, batch=args.batch_size)
+    params = model.init(jax.random.PRNGKey(0), feats[:1], w2p[:1],
+                        shift[:1])
+
+    only_bev = args.mode == "bev"
+
+    @jax.jit
+    def forward(params, feats, w2p, shift):
+        outs = model.apply(params, feats, w2p, shift, deterministic=True,
+                           only_bev=only_bev)
+        if only_bev:
+            return outs["bev_embed"]
+        return outs["bev_embed"], outs["occupancy_preds"]
+
+    for _ in range(args.warmup):
+        out = forward(params, feats, w2p, shift)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = forward(params, feats, w2p, shift)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = args.batch_size * args.iters / dt
+    print(f"device={jax.devices()[0].platform} cams={cfg.num_cams} "
+          f"batch={args.batch_size} mode={args.mode} "
+          f"dtype={cfg.dtype.__name__ if hasattr(cfg.dtype, '__name__') else cfg.dtype}")
+    print(f"throughput: {fps:.3f} samples/s "
+          f"({dt / args.iters * 1000:.1f} ms/iter)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+TPU-native replacement for the reference's tools/train.py +
+apis/mmdet_train.py: one jitted train step (forward + Hungarian + losses +
+backward + AdamW) pjit-sharded over a (data, view) mesh; orbax checkpoints;
+the reference's mmcv-style config files drive everything.
+
+Usage:
+  python tools/train.py configs/verformer/vocc.py --work-dir work_dirs/vocc \
+      [--synthetic] [--max-steps N] [--batch-size B]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--work-dir", default="work_dirs/default")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic dataset if ann files missing")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--ckpt-interval", type=int, default=1000)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="mesh shape 'data,view' (default: all devices dp)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from vln_ver_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+
+    from vln_ver_tpu.config import (build_train_config, build_ver_config,
+                                    load_config)
+    from vln_ver_tpu.config.api import dataset_kwargs
+    from vln_ver_tpu.data import MP3DDataset, make_synthetic_dataset
+    from vln_ver_tpu.data.mp3d import iterate_batches
+    from vln_ver_tpu.models import VoxelFormer
+    from vln_ver_tpu.parallel import make_mesh, replicate, shard_batch
+    from vln_ver_tpu.train import (TrainConfig, create_train_state,
+                                   make_train_step)
+    from vln_ver_tpu.train.state import make_lr_schedule, param_count
+    from vln_ver_tpu.utils.checkpoint import (latest_step, restore_state,
+                                              save_state)
+
+    cfg = load_config(args.config)
+    ver = build_ver_config(cfg)
+    os.makedirs(args.work_dir, exist_ok=True)
+
+    ds_kw = dataset_kwargs(cfg, "train")
+    ann = ds_kw["ann_file"]
+    root = ds_kw["data_root"]
+    if not os.path.exists(ann):
+        if not args.synthetic:
+            raise FileNotFoundError(
+                f"{ann} not found; pass --synthetic to generate data")
+        os.makedirs(root or "data/mp3d", exist_ok=True)
+        ann = make_synthetic_dataset(root or "data/mp3d", num_scans=2,
+                                     viewpoints_per_scan=4,
+                                     num_cams=ver.num_cams,
+                                     feat_hw=ver.feat_h,
+                                     feat_dim=ver.in_channels,
+                                     occ_dims=(ver.occ_zdim, ver.occ_ydim,
+                                               ver.occ_xdim),
+                                     pc_range=ver.pc_range)
+    dataset = MP3DDataset(ann, root, voxel_num=ver.voxel_num,
+                          occupancy_classes=ver.occupancy_classes,
+                          num_cams=ver.num_cams, feat_hw=ver.feat_h)
+
+    batch_size = args.batch_size or max(
+        cfg.get("data", {}).get("samples_per_gpu", 1) * len(jax.devices()),
+        1)
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    tc = build_train_config(cfg, steps_per_epoch)
+    total_steps = args.max_steps or tc.total_steps
+
+    mesh_shape = None
+    if args.mesh:
+        mesh_shape = tuple(int(x) for x in args.mesh.split(","))
+    mesh = make_mesh(mesh_shape)
+
+    model = VoxelFormer(ver)
+    sample = dataset[0]
+    init_feats = np.asarray(sample["features"])[None]
+    params = model.init(jax.random.PRNGKey(args.seed), init_feats,
+                        sample["world2pixel"][None],
+                        sample["origin_shift"][None])
+    state = create_train_state(model, params, tc)
+    print(f"model params: {param_count(params)/1e6:.1f}M; "
+          f"devices: {len(jax.devices())}; mesh: {mesh.shape}; "
+          f"batch: {batch_size}; steps/epoch: {steps_per_epoch}")
+
+    start_step = 0
+    ckpt_dir = os.path.abspath(os.path.join(args.work_dir, "ckpt"))
+    if args.resume:
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            state = restore_state(ckpt_dir, step, state)
+            start_step = int(state.step)
+            print(f"resumed from step {start_step}")
+
+    state = replicate(mesh, state)
+    step_fn = make_train_step(ver, tc)
+    sched = make_lr_schedule(tc)
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    log_path = os.path.join(args.work_dir, "train_log.jsonl")
+    logf = open(log_path, "a")
+    t0 = time.perf_counter()
+    step = start_step
+    order = np.random.default_rng(args.seed).permutation(len(dataset))
+    with mesh:
+        while step < total_steps:
+            for batch in iterate_batches(dataset, batch_size,
+                                         indices=order, drop_last=True):
+                if step >= total_steps:
+                    break
+                batch.pop("token", None)
+                sharded = shard_batch(mesh, batch)
+                state, metrics = step_fn(state, sharded,
+                                         jax.random.fold_in(rng, step))
+                step += 1
+                if step % args.log_interval == 0 or step == total_steps:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m.update(step=step, lr=float(sched(step)),
+                             sec_per_step=(time.perf_counter() - t0)
+                             / max(step - start_step, 1))
+                    logf.write(json.dumps(m) + "\n")
+                    logf.flush()
+                    print(f"step {step}: loss={m['loss']:.4f} "
+                          f"cls={m.get('loss_cls', 0):.4f} "
+                          f"bbox={m.get('loss_bbox', 0):.4f} "
+                          f"occ={m.get('loss_occupancy', 0):.4f} "
+                          f"({m['sec_per_step']:.2f}s/step)")
+                if step % args.ckpt_interval == 0 or step == total_steps:
+                    save_state(ckpt_dir, step, state)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""MMDetection3D-compatible config front-end.
+
+The north star requires the reference workloads (``vocc.py`` /
+``get_occ.py``) to run unchanged, so this module loads mmcv-style
+*Python-file* configs with ``_base_`` inheritance (reference
+tools/train.py:138-149 via mmcv ``Config.fromfile``) and maps the nested
+type-name dicts onto our dataclass configs.
+
+Missing ``_base_`` files (the reference's ``custom_nus-3d.py`` never shipped
+— SURVEY.md §0.3) are skipped with a warning, matching what a user must do
+to run the reference at all.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Any, Dict, List, Optional
+
+from ..models.config import VERConfig
+from ..train.state import TrainConfig
+
+
+class Config(dict):
+    """dict with attribute access, recursively."""
+
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+        return Config(v) if isinstance(v, dict) and not isinstance(
+            v, Config) else v
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def _merge(base: Dict, override: Dict) -> Dict:
+    out = dict(base)
+    for k, v in override.items():
+        if (k in out and isinstance(out[k], dict) and isinstance(v, dict)
+                and not v.pop("_delete_", False)):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _exec_py(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        src = f.read()
+    ns: Dict[str, Any] = {}
+    exec(compile(src, path, "exec"), ns)
+    ns.pop("__builtins__", None)
+    return ns
+
+
+def load_config(path: str) -> Config:
+    ns = _exec_py(path)
+    bases: List[str] = ns.pop("_base_", []) or []
+    if isinstance(bases, str):
+        bases = [bases]
+    merged: Dict[str, Any] = {}
+    for rel in bases:
+        bpath = os.path.normpath(os.path.join(os.path.dirname(path), rel))
+        if not os.path.exists(bpath):
+            warnings.warn(f"_base_ config not found, skipping: {bpath}")
+            continue
+        merged = _merge(merged, dict(load_config(bpath)))
+    merged = _merge(merged, ns)
+    return Config(merged)
+
+
+def _get(d: Dict, *keys, default=None):
+    for k in keys:
+        if not isinstance(d, dict) or k not in d:
+            return default
+        d = d[k]
+    return d
+
+
+def build_ver_config(cfg: Config, **overrides) -> VERConfig:
+    """Map an mmcv-style model dict onto VERConfig."""
+    model = cfg.get("model", {})
+    head = model.get("pts_bbox_head", {})
+    tr = head.get("transformer", {})
+    enc = tr.get("encoder", {})
+    dec = tr.get("decoder", {}) or {}
+    enc_layer = enc.get("transformerlayers", {})
+    sca = _get(enc_layer, "attn_cfgs", default=[{}])
+    sca = sca[0] if isinstance(sca, list) and sca else {}
+    deform = sca.get("deformable_attention", {})
+
+    pc_range = tuple(head.get("point_cloud_range",
+                              cfg.get("point_cloud_range",
+                                      VERConfig.pc_range)))
+    kwargs: Dict[str, Any] = dict(
+        pc_range=pc_range,
+        bev_z=head.get("bev_z", VERConfig.bev_z),
+        bev_h=head.get("bev_h", VERConfig.bev_h),
+        bev_w=head.get("bev_w", VERConfig.bev_w),
+        occupancy_size=tuple(head.get("occupancy_size",
+                                      VERConfig.occupancy_size)),
+        embed_dims=tr.get("embed_dims", VERConfig.embed_dims),
+        encoder_layers=enc.get("num_layers", VERConfig.encoder_layers),
+        sca_num_points=deform.get("num_points", VERConfig.sca_num_points),
+        num_levels=deform.get("num_levels", VERConfig.num_levels),
+        decoder_layers=dec.get("num_layers", VERConfig.decoder_layers),
+        ffn_dim=enc_layer.get("feedforward_channels", VERConfig.ffn_dim),
+        num_query=head.get("num_query", VERConfig.num_query),
+        num_classes=head.get("num_classes", VERConfig.num_classes),
+        occupancy_classes=head.get("occupancy_classes",
+                                   VERConfig.occupancy_classes),
+        occ_dims=head.get("occ_dims", VERConfig.occ_dims),
+        only_occ=head.get("only_occ", False),
+        only_det=head.get("only_det", False),
+        add_layout=head.get("add_layout", False),
+        refine_occ=head.get("refine_occ", VERConfig.refine_occ),
+        with_box_refine=head.get("with_box_refine", True),
+        # input-shape keys (not expressible in reference configs, which
+        # hard-code 6x14x14x768 — voxelformer.py:287-289, 146): our configs
+        # may set them top-level
+        num_cams=tr.get("num_cams", cfg.get("num_cams",
+                                            VERConfig.num_cams)),
+        feat_h=cfg.get("feat_h", VERConfig.feat_h),
+        feat_w=cfg.get("feat_w", VERConfig.feat_w),
+        in_channels=cfg.get("in_channels",
+                            head.get("in_channels", VERConfig.in_channels)),
+    )
+    kwargs.update(overrides)
+    return VERConfig(**kwargs)
+
+
+def build_train_config(cfg: Config, steps_per_epoch: int,
+                       **overrides) -> TrainConfig:
+    """Map optimizer/lr_config/runner dicts onto TrainConfig (vocc.py:261-293
+    semantics: epoch-based warmup and cosine annealing)."""
+    opt = cfg.get("optimizer", {})
+    lr_cfg = cfg.get("lr_config", {})
+    runner = cfg.get("runner", {})
+    grad = _get(cfg, "optimizer_config", "grad_clip", "max_norm",
+                default=300.0)
+    total_epochs = runner.get("max_epochs", cfg.get("total_epochs", 500))
+    warmup_iters = lr_cfg.get("warmup_iters", 30)
+    if lr_cfg.get("warmup_by_epoch", False):
+        warmup_steps = warmup_iters * steps_per_epoch
+    else:
+        warmup_steps = warmup_iters
+    kwargs: Dict[str, Any] = dict(
+        learning_rate=opt.get("lr", 1e-4),
+        weight_decay=opt.get("weight_decay", 0.01),
+        warmup_steps=max(int(warmup_steps), 1),
+        total_steps=max(int(total_epochs * steps_per_epoch), 2),
+        warmup_ratio=lr_cfg.get("warmup_ratio", 1.0 / 3.0),
+        min_lr_ratio=lr_cfg.get("min_lr_ratio", 1e-3),
+        grad_clip_norm=float(grad),
+    )
+    kwargs.update(overrides)
+    return TrainConfig(**kwargs)
+
+
+def dataset_kwargs(cfg: Config, split: str = "train") -> Optional[Dict]:
+    """Extract MP3DDataset kwargs from the data dict."""
+    data = cfg.get("data", {})
+    d = data.get(split)
+    if d is None:
+        return None
+    return dict(
+        ann_file=d.get("ann_file"),
+        data_root=d.get("data_root", ""),
+        classes=d.get("classes", ()),
+        test_mode=d.get("test_mode", split != "train"),
+    )

@@ -1,0 +1,2 @@
+from .mp3d import MP3DDataset, collate  # noqa: F401
+from .synthetic import make_synthetic_dataset  # noqa: F401

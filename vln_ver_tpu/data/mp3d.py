@@ -1,0 +1,208 @@
+"""MP3D viewpoint dataset: pkl annotations + HDF5 ViT features + camera
+parameters + sparse occupancy GT.
+
+Replaces the reference's ``MP3DDataset`` (mp3docc_dataset.py:26-584) **and**
+the host I/O the reference model does inside forward
+(voxelformer.py:282-325 HDF5 reads, voxel_encoder.py:117-135 JSON/pkl reads
+per forward): everything is loaded/prefetched here and handed to the jitted
+step as plain arrays.
+
+Annotation pkl schema (one dict per viewpoint, reference
+mp3docc_dataset.py:112-190):
+  token: '{scan}_{viewpoint}'
+  gt_boxes: (N, 7) raw boxes (cx, cy, z_bottom, w, l, h, yaw)
+  names: list[str]; labels: (N,) int
+  layout: (7,) raw layout box (optional)
+  occ_gt_path: path to (M, 2) int npy of (flat_index, class)
+  scene_name: scan id
+
+Feature HDF5 keys: '{scan}_{vp}_i{cam}_{deg}' -> (1, 197, 768); the CLS
+token is stripped (voxelformer.py:322-323).
+Camera parameters: '{camera_dir}/world2pixel/{scan}.json' with keys
+'{vp}_i1_{deg}' -> 4x4 row-major list; origin shifts in 'scanvp2cord.pkl'.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..boxes import gravity_boxes_from_raw
+from ..occupancy import dense_from_sparse_np
+
+import jax.numpy as jnp  # noqa: E402
+
+
+DEFAULT_CLASSES = (
+    'chair', 'door', 'table', 'picture', 'cabinet', 'cushion', 'window',
+    'sofa', 'bed', 'chest', 'plant', 'sink', 'toilet', 'monitor',
+    'lighting', 'shelving', 'appliances')
+
+DEFAULT_OCC_NAMES = (
+    'space', 'wall', 'floor', 'chair', 'door', 'table', 'objects',
+    'cabinet', 'window', 'sofa', 'bed', 'plant', 'sink', 'stairs',
+    'ceiling', 'shelving+railing')
+
+
+class MP3DDataset:
+    def __init__(self,
+                 ann_file: str,
+                 data_root: str,
+                 camera_dir: Optional[str] = None,
+                 feature_file: Optional[str] = None,
+                 num_cams: int = 6,
+                 cam_id: int = 1,
+                 feat_hw: int = 14,
+                 max_gt: int = 32,
+                 voxel_num: int = 35 * 120 * 120,
+                 occupancy_classes: int = 16,
+                 classes: Sequence[str] = DEFAULT_CLASSES,
+                 occ_names: Sequence[str] = DEFAULT_OCC_NAMES,
+                 test_mode: bool = False,
+                 cache_features: bool = True):
+        with open(ann_file, "rb") as f:
+            self.data_infos: List[Dict] = pickle.load(f)
+        self.data_root = data_root
+        self.camera_dir = camera_dir or data_root
+        self.feature_file = feature_file or os.path.join(
+            data_root, "new_vit_base_patch16_197_imagenet.hdf5")
+        self.num_cams = num_cams
+        self.cam_id = cam_id
+        self.feat_hw = feat_hw
+        self.max_gt = max_gt
+        self.voxel_num = voxel_num
+        self.occupancy_classes = occupancy_classes
+        self.classes = list(classes)
+        self.occ_names = list(occ_names)
+        self.test_mode = test_mode
+        self._cache_features = cache_features
+        self._feat_cache: Dict[str, np.ndarray] = {}
+        self._cam_cache: Dict[str, Dict] = {}
+        self._cord_cache: Optional[Dict] = None
+        self._h5 = None
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self.data_infos)
+
+    # -- host I/O ------------------------------------------------------
+    def _h5file(self):
+        if self._h5 is None:
+            import h5py
+            self._h5 = h5py.File(self.feature_file, "r")
+        return self._h5
+
+    def _get_feature(self, key: str) -> np.ndarray:
+        if self._cache_features and key in self._feat_cache:
+            return self._feat_cache[key]
+        with self._lock:
+            ft = self._h5file()[key][:, 1:, :].astype(np.float32)
+        ft = ft.reshape(self.feat_hw, self.feat_hw, -1)
+        if self._cache_features:
+            self._feat_cache[key] = ft
+        return ft
+
+    def _get_world2pixel(self, scan: str, vp: str) -> np.ndarray:
+        if scan not in self._cam_cache:
+            path = os.path.join(self.camera_dir, "world2pixel",
+                                scan + ".json")
+            with open(path) as f:
+                self._cam_cache[scan] = json.load(f)
+        data = self._cam_cache[scan]
+        mats = [np.asarray(data[f"{vp}_i{self.cam_id}_{deg}"],
+                           dtype=np.float32)
+                for deg in range(self.num_cams)]
+        return np.stack(mats)
+
+    def _get_origin_shift(self, scan: str, vp: str) -> np.ndarray:
+        if self._cord_cache is None:
+            path = os.path.join(self.camera_dir, "scanvp2cord.pkl")
+            with open(path, "rb") as f:
+                self._cord_cache = pickle.load(f)
+        return np.asarray(self._cord_cache[f"{scan}_{vp}"],
+                          dtype=np.float32)[:3]
+
+    # -- sample construction -------------------------------------------
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        info = self.data_infos[index]
+        token = info["token"]
+        scan, vp = token.split("_")
+        feats = np.stack([
+            self._get_feature(f"{scan}_{vp}_i{self.cam_id}_{deg}")
+            for deg in range(self.num_cams)
+        ])  # (cams, 14, 14, 768)
+        sample = {
+            "features": feats,
+            "world2pixel": self._get_world2pixel(scan, vp),
+            "origin_shift": self._get_origin_shift(scan, vp),
+            "token": token,
+        }
+        if not self.test_mode or "gt_boxes" in info:
+            raw = np.asarray(info.get("gt_boxes",
+                                      np.zeros((0, 7))), np.float32)
+            raw = raw.reshape(-1, 7)
+            n = min(len(raw), self.max_gt)
+            boxes = np.zeros((self.max_gt, 9), np.float32)
+            labels = np.zeros((self.max_gt,), np.int32)
+            valid = np.zeros((self.max_gt,), bool)
+            if n:
+                boxes[:n] = np.asarray(
+                    gravity_boxes_from_raw(jnp.asarray(raw[:n])))
+                labels[:n] = np.asarray(info["labels"][:n], np.int32)
+                valid[:n] = True
+            sample.update(gt_boxes=boxes, gt_labels=labels, gt_valid=valid)
+            if info.get("layout") is not None:
+                lay_raw = np.asarray(info["layout"],
+                                     np.float32).reshape(1, 7)
+                sample["gt_layout"] = np.asarray(
+                    gravity_boxes_from_raw(jnp.asarray(lay_raw)))
+                sample["layout_valid"] = np.ones((1,), bool)
+            else:
+                sample["gt_layout"] = np.zeros((1, 9), np.float32)
+                sample["layout_valid"] = np.zeros((1,), bool)
+        if "occ_gt_path" in info:
+            occ = np.load(info["occ_gt_path"])
+            sample["occ_dense"] = dense_from_sparse_np(
+                occ, self.voxel_num, self.occupancy_classes).astype(np.int32)
+        return sample
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack per-sample dicts into a batch (tokens kept as a list)."""
+    out: Dict = {}
+    for k in samples[0]:
+        if k == "token":
+            out[k] = [s[k] for s in samples]
+        else:
+            out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+def iterate_batches(dataset: MP3DDataset, batch_size: int,
+                    indices: Optional[Sequence[int]] = None,
+                    drop_last: bool = False, prefetch: int = 2):
+    """Simple background-thread prefetching batch iterator."""
+    import queue
+
+    idx = list(indices if indices is not None else range(len(dataset)))
+    nb = len(idx) // batch_size if drop_last else -(-len(idx) // batch_size)
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def worker():
+        for b in range(nb):
+            chunk = idx[b * batch_size:(b + 1) * batch_size]
+            q.put(collate([dataset[i] for i in chunk]))
+        q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        yield item

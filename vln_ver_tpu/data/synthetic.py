@@ -1,0 +1,144 @@
+"""Synthetic MP3D-format dataset generator.
+
+Matterport3D is licence-gated (reference README.md:21) and its pkl/occ-npy
+generation scripts are not in the reference repo (SURVEY.md §2.6), so tests,
+benchmarks and end-to-end runs use procedurally generated scenes written in
+the exact on-disk format the real data uses: annotation pkl + feature HDF5 +
+world2pixel JSON + scanvp2cord pkl + sparse occupancy npy.
+
+Scene model: a rectangular room with floor/ceiling/walls plus a few
+axis-ish boxes; occupancy is rasterised analytically, ViT features are
+random (the framework consumes precomputed features — their content only
+matters for learning tests, where overfitting random features is fine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Sequence
+
+import numpy as np
+
+from ..geometry import make_pinhole_world2pixel
+
+# occupancy class ids from vocc.py occupancy_name
+FLOOR, WALL, CEILING = 2, 1, 14
+
+
+def _rasterise_scene(rng: np.random.Generator,
+                     pc_range=(-6.0, -6.0, -1.5, 6.0, 6.0, 2.0),
+                     occ_dims=(35, 120, 120),
+                     num_boxes: int = 4):
+    zd, yd, xd = occ_dims
+    lo = np.asarray(pc_range[:3])
+    hi = np.asarray(pc_range[3:])
+    size = (hi - lo) / np.array([xd, yd, zd])[[0, 1, 2]]
+    dense = np.full(zd * yd * xd, 16, dtype=np.int32)
+    zz, yy, xx = np.meshgrid(np.arange(zd), np.arange(yd), np.arange(xd),
+                             indexing="ij")
+    cx = (xx + 0.5) / xd * (hi[0] - lo[0]) + lo[0]
+    cy = (yy + 0.5) / yd * (hi[1] - lo[1]) + lo[1]
+    cz = (zz + 0.5) / zd * (hi[2] - lo[2]) + lo[2]
+    flat = lambda m: m.reshape(-1)
+
+    room_half = rng.uniform(3.0, 5.5)
+    floor_z = lo[2] + 0.15
+    ceil_z = hi[2] - 0.15
+    inside = (np.abs(cx) < room_half) & (np.abs(cy) < room_half)
+    dense[flat(inside & (cz < floor_z))] = FLOOR
+    dense[flat(inside & (cz > ceil_z))] = CEILING
+    wall = inside & (np.maximum(np.abs(cx), np.abs(cy)) > room_half - 0.2)
+    dense[flat(wall & (cz >= floor_z) & (cz <= ceil_z))] = WALL
+
+    boxes = []
+    labels = []
+    for _ in range(num_boxes):
+        w, l, h = rng.uniform(0.4, 1.5, 3)
+        bx = rng.uniform(-room_half + 1, room_half - 1)
+        by = rng.uniform(-room_half + 1, room_half - 1)
+        bz = floor_z  # bottom on the floor
+        yaw = rng.uniform(-np.pi, np.pi)
+        label = int(rng.integers(0, 17))
+        boxes.append([bx, by, bz, w, l, h, yaw])
+        labels.append(label)
+        occ_cls = int(rng.integers(3, 16))
+        in_box = ((np.abs(cx - bx) < w / 2) & (np.abs(cy - by) < l / 2)
+                  & (cz >= bz) & (cz <= bz + h))
+        dense[flat(in_box)] = occ_cls
+
+    idx = np.nonzero(dense != 16)[0]
+    sparse = np.stack([idx, dense[idx]], axis=-1).astype(np.int64)
+    layout = [0.0, 0.0, floor_z, 2 * room_half, 2 * room_half,
+              ceil_z - floor_z, 0.0]
+    del size
+    return sparse, np.asarray(boxes, np.float32), np.asarray(
+        labels, np.int64), np.asarray(layout, np.float32)
+
+
+def make_synthetic_dataset(root: str,
+                           num_scans: int = 2,
+                           viewpoints_per_scan: int = 2,
+                           num_cams: int = 6,
+                           feat_hw: int = 14,
+                           feat_dim: int = 768,
+                           occ_dims=(35, 120, 120),
+                           pc_range=(-6.0, -6.0, -1.5, 6.0, 6.0, 2.0),
+                           seed: int = 0,
+                           split: str = "trainval") -> str:
+    """Write a synthetic dataset under ``root``; returns the ann pkl path."""
+    import h5py
+
+    os.makedirs(os.path.join(root, "world2pixel"), exist_ok=True)
+    os.makedirs(os.path.join(root, "occ"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    infos = []
+    cords = {}
+    feat_path = os.path.join(root,
+                             "new_vit_base_patch16_197_imagenet.hdf5")
+    mode = "a" if os.path.exists(feat_path) else "w"
+    with h5py.File(feat_path, mode) as h5:
+        for s in range(num_scans):
+            scan = f"scan{s:03d}"
+            cam_json = {}
+            for v in range(viewpoints_per_scan):
+                vp = f"vp{v:03d}"
+                token = f"{scan}_{vp}"
+                pos = rng.uniform(-1.0, 1.0, 3) * np.array([1, 1, 0.3])
+                cords[token] = pos.astype(np.float32)
+                for deg in range(num_cams):
+                    key = f"{vp}_i1_{deg}"
+                    w2p = make_pinhole_world2pixel(
+                        70.0, deg * (360.0 / num_cams), pos)
+                    cam_json[key] = w2p.tolist()
+                    fkey = f"{scan}_{vp}_i1_{deg}"
+                    if fkey not in h5:
+                        feat = rng.standard_normal(
+                            (1, feat_hw * feat_hw + 1, feat_dim)
+                        ).astype(np.float32)
+                        h5.create_dataset(fkey, data=feat)
+                sparse, boxes, labels, layout = _rasterise_scene(
+                    rng, pc_range=pc_range, occ_dims=occ_dims)
+                occ_path = os.path.join(root, "occ", f"{token}.npy")
+                np.save(occ_path, sparse)
+                infos.append({
+                    "token": token,
+                    "scene_name": scan,
+                    "gt_boxes": boxes,
+                    "names": ["chair"] * len(labels),
+                    "labels": labels,
+                    "layout": layout,
+                    "occ_gt_path": occ_path,
+                })
+            with open(os.path.join(root, "world2pixel",
+                                   scan + ".json"), "w") as f:
+                json.dump(cam_json, f)
+
+    with open(os.path.join(root, "scanvp2cord.pkl"), "wb") as f:
+        pickle.dump(cords, f)
+    ann_path = os.path.join(root, f"mp3d_{split}.pkl")
+    with open(ann_path, "wb") as f:
+        pickle.dump(infos, f)
+    return ann_path

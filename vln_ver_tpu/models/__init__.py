@@ -1,0 +1,4 @@
+"""flax.linen model modules for the TPU-native VER stack."""
+
+from .config import VERConfig  # noqa: F401
+from .detector import VoxelFormer  # noqa: F401

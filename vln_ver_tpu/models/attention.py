@@ -1,0 +1,282 @@
+"""Attention modules: per-camera 2D deformable attention, masked-dense
+spatial cross-attention, and 3D voxel deformable attention.
+
+Reference semantics:
+
+* ``CamDeformableAttention`` == MSDeformableAttention3D
+  (spatial_cross_attention.py:179-402): per-camera 2D deformable-DETR
+  attention whose 8 sampling points are shared across the query's
+  ``num_Z_anchors`` projected reference points (1 anchor on the MP3D voxel
+  path).  No output projection (done by the caller).
+* ``SpatialCrossAttention`` (spatial_cross_attention.py:31-176): the
+  reference gathers, per camera, only the voxel queries visible in that view
+  (data-dependent shapes) and scatter-adds results back.  Here we run the
+  attention **dense** over all queries for every camera and multiply by the
+  visibility mask before the sum — math-identical (invisible queries
+  contribute zero and the reference already count-normalises) but
+  static-shaped, so the whole encoder compiles to one XLA program and the
+  camera axis can be sharded over the mesh with a single ``psum``.
+* ``VoxelDeformableAttention3D`` == VoxelCustomMSDeformableAttention
+  (voxel_decoder.py:135-358): 3D offsets, trilinear sampling over the
+  (z, h, w) voxel grid, with output projection + dropout + residual.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import ms_deform_attn_2d, voxel_deform_attn_3d
+
+
+def _offset_grid_init_2d(num_heads: int, num_levels: int, num_points: int):
+    """Directional bias init of the 2D sampling offsets
+    (spatial_cross_attention.py:255-269)."""
+    thetas = jnp.arange(num_heads, dtype=jnp.float32) * (
+        2.0 * math.pi / num_heads)
+    grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], axis=-1)
+    grid = grid / jnp.abs(grid).max(axis=-1, keepdims=True)
+    grid = jnp.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    scale = jnp.arange(1, num_points + 1, dtype=jnp.float32)[None, None, :,
+                                                             None]
+    return (grid * scale).reshape(-1)
+
+
+def _offset_grid_init_3d(num_heads: int, num_levels: int, num_points: int):
+    """3D variant seeds offsets with (cos, sin, cos+sin)
+    (voxel_decoder.py:212-226)."""
+    thetas = jnp.arange(num_heads, dtype=jnp.float32) * (
+        2.0 * math.pi / num_heads)
+    grid = jnp.stack(
+        [jnp.cos(thetas), jnp.sin(thetas), jnp.cos(thetas) + jnp.sin(thetas)],
+        axis=-1)
+    grid = grid / jnp.abs(grid).max(axis=-1, keepdims=True)
+    grid = jnp.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    scale = jnp.arange(1, num_points + 1, dtype=jnp.float32)[None, None, :,
+                                                             None]
+    return (grid * scale).reshape(-1)
+
+
+class CamDeformableAttention(nn.Module):
+    """Per-camera 2D deformable attention (reference MSDeformableAttention3D).
+
+    Operates batch-first on ``(B', nq, C)`` where B' folds (batch, camera).
+    """
+    embed_dims: int = 768
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 8
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, value: jnp.ndarray,
+                 reference_points: jnp.ndarray,
+                 spatial_shapes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+        """query (B', nq, C); value (B', nv, C);
+        reference_points (B', nq, num_Z_anchors, 2) in [0,1]."""
+        bsz, nq, _ = query.shape
+        nv = value.shape[1]
+        hd = self.embed_dims // self.num_heads
+
+        value = nn.Dense(self.embed_dims, name="value_proj",
+                         dtype=self.dtype)(value)
+        value = value.reshape(bsz, nv, self.num_heads, hd)
+
+        offsets = nn.Dense(
+            self.num_heads * self.num_levels * self.num_points * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *a: _offset_grid_init_2d(
+                self.num_heads, self.num_levels, self.num_points),
+            name="sampling_offsets", dtype=jnp.float32)(query)
+        offsets = offsets.reshape(bsz, nq, self.num_heads, self.num_levels,
+                                  self.num_points, 2)
+
+        attn = nn.Dense(self.num_heads * self.num_levels * self.num_points,
+                        kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros,
+                        name="attention_weights", dtype=jnp.float32)(query)
+        attn = attn.reshape(bsz, nq, self.num_heads,
+                            self.num_levels * self.num_points)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = attn.reshape(bsz, nq, self.num_heads, self.num_levels,
+                            self.num_points)
+
+        # Distribute the P sampling points across the query's Z anchors
+        # (spatial_cross_attention.py:352-374).
+        num_anchors = reference_points.shape[2]
+        pts_per_anchor = self.num_points // num_anchors
+        normalizer = jnp.asarray(
+            [[w, h] for (h, w) in spatial_shapes], dtype=jnp.float32)
+        offsets = offsets / normalizer[None, None, None, :, None, :]
+        offsets = offsets.reshape(bsz, nq, self.num_heads, self.num_levels,
+                                  pts_per_anchor, num_anchors, 2)
+        ref = reference_points[:, :, None, None, None, :, :]
+        locations = (ref + offsets).reshape(
+            bsz, nq, self.num_heads, self.num_levels, self.num_points, 2)
+
+        if self.use_pallas:
+            from ..ops.pallas_deform import ms_deform_attn_2d_pallas
+            out = ms_deform_attn_2d_pallas(
+                value.astype(jnp.float32), spatial_shapes, locations,
+                attn)
+        else:
+            out = ms_deform_attn_2d(value.astype(jnp.float32),
+                                    spatial_shapes, locations, attn)
+        return out.astype(self.dtype)
+
+
+class SpatialCrossAttention(nn.Module):
+    """Masked-dense multi-camera spatial cross-attention.
+
+    Math-identical to the reference's sparse per-camera rebatch + scatter-add
+    + count-normalise (spatial_cross_attention.py:137-176) but static-shaped.
+    """
+    embed_dims: int = 768
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 8
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, value: jnp.ndarray,
+                 reference_points_cam: jnp.ndarray, bev_mask: jnp.ndarray,
+                 spatial_shapes: Sequence[Tuple[int, int]],
+                 query_pos: jnp.ndarray | None = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """query (B, nq, C); value (B, num_cam, nv, C);
+        reference_points_cam (B, num_cam, nq, A, 2);
+        bev_mask (B, num_cam, nq, A) bool."""
+        bsz, nq, _ = query.shape
+        num_cam = value.shape[1]
+        residual = query
+        if query_pos is not None:
+            query = query + query_pos
+
+        # Fold cameras into batch; every camera attends from all queries.
+        q_tiled = jnp.repeat(query[:, None], num_cam, axis=1).reshape(
+            bsz * num_cam, nq, self.embed_dims)
+        v_flat = value.reshape(bsz * num_cam, value.shape[2],
+                               self.embed_dims)
+        # Zero out reference coords of invisible (query, anchor) pairs so the
+        # dense sampling stays tame; their output is masked away below.
+        ref = jnp.where(bev_mask[..., None], reference_points_cam, 0.0)
+        ref = ref.reshape(bsz * num_cam, nq, -1, 2)
+
+        attn_out = CamDeformableAttention(
+            embed_dims=self.embed_dims, num_heads=self.num_heads,
+            num_levels=self.num_levels, num_points=self.num_points,
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            name="deformable_attention")(q_tiled, v_flat, ref,
+                                         spatial_shapes)
+        attn_out = attn_out.reshape(bsz, num_cam, nq, self.embed_dims)
+
+        # Per-query camera hit count (any anchor visible), as in
+        # spatial_cross_attention.py:170-173.
+        qmask = jnp.any(bev_mask, axis=-1)                 # (B, cam, nq)
+        slots = jnp.sum(attn_out * qmask[..., None].astype(attn_out.dtype),
+                        axis=1)                            # (B, nq, C)
+        count = jnp.maximum(jnp.sum(qmask.astype(jnp.float32), axis=1), 1.0)
+        slots = slots / count[..., None].astype(slots.dtype)
+
+        slots = nn.Dense(self.embed_dims, name="output_proj",
+                         dtype=self.dtype)(slots)
+        slots = nn.Dropout(self.dropout_rate)(
+            slots, deterministic=deterministic)
+        return slots + residual
+
+
+class VoxelDeformableAttention3D(nn.Module):
+    """3D deformable cross-attention of object queries over the voxel grid
+    (reference VoxelCustomMSDeformableAttention, voxel_decoder.py:135-358)."""
+    embed_dims: int = 768
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 4
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, value: jnp.ndarray,
+                 reference_points: jnp.ndarray,
+                 spatial_shapes: Sequence[Tuple[int, int, int]],
+                 query_pos: jnp.ndarray | None = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """query (B, nq, C); value (B, nv, C);
+        reference_points (B, nq, num_levels, 3) normalized (x, y, z)."""
+        bsz, nq, _ = query.shape
+        nv = value.shape[1]
+        hd = self.embed_dims // self.num_heads
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+
+        value = nn.Dense(self.embed_dims, name="value_proj",
+                         dtype=self.dtype)(value)
+        value = value.reshape(bsz, nv, self.num_heads, hd)
+
+        offsets = nn.Dense(
+            self.num_heads * self.num_levels * self.num_points * 3,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *a: _offset_grid_init_3d(
+                self.num_heads, self.num_levels, self.num_points),
+            name="sampling_offsets", dtype=jnp.float32)(query)
+        offsets = offsets.reshape(bsz, nq, self.num_heads, self.num_levels,
+                                  self.num_points, 3)
+
+        attn = nn.Dense(self.num_heads * self.num_levels * self.num_points,
+                        kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros,
+                        name="attention_weights", dtype=jnp.float32)(query)
+        attn = attn.reshape(bsz, nq, self.num_heads,
+                            self.num_levels * self.num_points)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = attn.reshape(bsz, nq, self.num_heads, self.num_levels,
+                            self.num_points)
+
+        # offset normaliser is (w, h, d) (voxel_decoder.py:313-318)
+        normalizer = jnp.asarray(
+            [[w, h, d] for (d, h, w) in spatial_shapes], dtype=jnp.float32)
+        locations = (reference_points[:, :, None, :, None, :]
+                     + offsets / normalizer[None, None, None, :, None, :])
+
+        out = voxel_deform_attn_3d(value.astype(jnp.float32), spatial_shapes,
+                                   locations, attn).astype(self.dtype)
+        out = nn.Dense(self.embed_dims, name="output_proj",
+                       dtype=self.dtype)(out)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return out + identity
+
+
+class MultiheadAttention(nn.Module):
+    """Standard MHA with residual, matching mmcv's wrapper semantics
+    (attention-prob dropout, residual add)."""
+    embed_dims: int = 768
+    num_heads: int = 8
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key=None, value=None, query_pos=None,
+                 key_pos=None, deterministic: bool = True):
+        identity = query
+        if key is None:
+            key = query
+        if value is None:
+            value = key
+        if query_pos is not None:
+            query = query + query_pos
+        if key_pos is not None:
+            key = key + key_pos
+        out = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.embed_dims,
+            out_features=self.embed_dims, dropout_rate=self.dropout_rate,
+            dtype=self.dtype, name="attn")(
+                query, key, value, deterministic=deterministic)
+        return out + identity

@@ -1,0 +1,90 @@
+"""Static model configuration for the VER stack.
+
+One frozen dataclass drives every module; defaults reproduce the active
+reference config (projects/configs/verformer/vocc.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class VERConfig:
+    # -- grid geometry (vocc.py:9-14) --
+    pc_range: Tuple[float, ...] = (-6.0, -6.0, -1.5, 6.0, 6.0, 2.0)
+    bev_z: int = 4
+    bev_h: int = 15
+    bev_w: int = 15
+    occupancy_size: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+
+    # -- inputs (voxelformer.py:282-289; ViT-B/16 patch features) --
+    num_cams: int = 6
+    feat_h: int = 14
+    feat_w: int = 14
+    in_channels: int = 768
+
+    # -- transformer (vocc.py:107-166) --
+    embed_dims: int = 768
+    num_heads: int = 8
+    encoder_layers: int = 3
+    sca_num_points: int = 8       # per-query sampling points in SCA
+    decoder_layers: int = 6
+    decoder_num_points: int = 4   # VoxelCustomMSDeformableAttention default
+    num_levels: int = 1
+    ffn_dim: int = 1536           # _ffn_dim_ = 2 * embed
+    dropout_rate: float = 0.1
+
+    # -- queries / classes (vocc.py:19,38-46,94-104) --
+    num_query: int = 100
+    num_layout_query: int = 10
+    num_classes: int = 17
+    occupancy_classes: int = 16
+    code_size: int = 10
+    num_reg_fcs: int = 2
+    num_occ_fcs: int = 2
+    occ_dims: int = 128
+
+    # -- mode flags (vocc.py:15-17, head kwargs) --
+    only_occ: bool = False
+    only_det: bool = False
+    add_layout: bool = False
+    refine_occ: bool = True
+    with_box_refine: bool = True
+    occ_loss_type: str = "focal_loss"
+    layout_range: Tuple[float, ...] = (-50.0, -50.0, -5.0, 50.0, 50.0, 5.0)
+
+    # -- TPU execution --
+    # compute dtype for the transformer stack; projections/losses stay fp32
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False      # fused Pallas deformable sampling kernel
+
+    @property
+    def bev_num(self) -> int:
+        return self.bev_z * self.bev_h * self.bev_w
+
+    @property
+    def occ_zdim(self) -> int:
+        return round((self.pc_range[5] - self.pc_range[2])
+                     / self.occupancy_size[2])
+
+    @property
+    def occ_ydim(self) -> int:
+        return round((self.pc_range[4] - self.pc_range[1])
+                     / self.occupancy_size[1])
+
+    @property
+    def occ_xdim(self) -> int:
+        return round((self.pc_range[3] - self.pc_range[0])
+                     / self.occupancy_size[0])
+
+    @property
+    def voxel_num(self) -> int:
+        return self.occ_zdim * self.occ_ydim * self.occ_xdim
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dims // self.num_heads

@@ -1,0 +1,39 @@
+"""VoxelFormer detector — the top-level model.
+
+Reference: detectors/voxelformer.py:21-419.  The reference detector mixes
+host I/O (HDF5 feature reads, occ-GT np.load) into the forward pass; here
+the detector is a pure function of array inputs — all host I/O lives in
+``vln_ver_tpu.data``.  The (inert) image backbone path of the reference is
+dropped: the active contract is precomputed ViT-B/16 patch features
+(voxelformer.py:282-289, SURVEY.md §0.2).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .config import VERConfig
+from .head import VoxelFormerOccupancyHead
+
+
+class VoxelFormer(nn.Module):
+    """Thin orchestration wrapper over the multi-task head.
+
+    Inputs (one MP3D viewpoint per batch element):
+      features:     (B, num_cams, feat_h, feat_w, in_channels) fp32/bf16
+      world2pixel:  (B, num_cams, 4, 4) fp32
+      origin_shift: (B, 3) fp32
+    """
+    cfg: VERConfig
+
+    def setup(self):
+        self.pts_bbox_head = VoxelFormerOccupancyHead(
+            self.cfg, name="pts_bbox_head")
+
+    def __call__(self, features: jnp.ndarray, world2pixel: jnp.ndarray,
+                 origin_shift: jnp.ndarray, deterministic: bool = True,
+                 only_bev: bool = False):
+        return self.pts_bbox_head(features, world2pixel, origin_shift,
+                                  deterministic=deterministic,
+                                  only_bev=only_bev)

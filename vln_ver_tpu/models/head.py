@@ -1,0 +1,298 @@
+"""VoxelFormerOccupancyHead — multi-task head: 3D occupancy, 3D boxes,
+room layout.
+
+Reference: voxelformer_occupancy_head.py:31-640.  Forward modes map 1:1 to
+the reference's branches (selected statically by config flags):
+
+* ``only_bev``   — encoder only; returns the voxel embedding (head:310-321).
+* ``only_occ``   — encoder + occupancy branch (head:323-370).
+* ``only_det``   — encoder + decoder + det branches (head:372-434).
+* ``add_layout`` — det + occ + layout branches (head:436-532).
+* default        — det + occ (optionally coarse-to-fine refined occupancy,
+  head:534-625).
+
+Documented divergence from the reference: with ``refine_occ`` the reference
+reinterprets the (bev_num, C) voxel embedding as a (C, Z, H, W) volume via a
+raw ``.view`` (head:558,564), silently scrambling the channel/voxel axes
+(the network trains through the fixed permutation).  We use the semantically
+correct (Z, H, W, C) layout — same parameter count and FLOPs, sane geometry.
+
+Occupancy flat ordering everywhere: ``z * (ydim * xdim) + y * xdim + x``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .config import VERConfig
+from .positional import VoxelLearnedPositionalEncoding
+from .transformer import VoxelTransformer
+
+
+def _bias_init_with_prob(prob: float) -> float:
+    return float(-math.log((1 - prob) / prob))
+
+
+class ClsBranch(nn.Module):
+    """(Dense, LN, ReLU) x num_fcs, Dense(out) with focal-prior bias
+    (head:183-189, 269-279)."""
+    embed_dims: int
+    out_channels: int
+    num_fcs: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_fcs):
+            x = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(
+            self.out_channels, dtype=jnp.float32,
+            bias_init=nn.initializers.constant(_bias_init_with_prob(0.01)),
+            name="out")(x)
+
+
+class LayoutBranch(nn.Module):
+    """Dense+ReLU x num_fcs, Dense(code_size) (head:198-203)."""
+    embed_dims: int
+    code_size: int
+    num_fcs: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_fcs):
+            x = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.code_size, dtype=jnp.float32, name="out")(x)
+
+
+class OccBranch(nn.Module):
+    """(Dense, LN, ReLU) x num_fcs, Dense(classes) (head:242-248)."""
+    occ_dims: int
+    out_channels: int
+    num_fcs: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_fcs):
+            x = nn.Dense(self.occ_dims, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(
+            self.out_channels, dtype=jnp.float32,
+            bias_init=nn.initializers.constant(_bias_init_with_prob(0.01)),
+            name="out")(x)
+
+
+class OccUpsampler(nn.Module):
+    """Coarse-to-fine 15->120 (h, w) transposed-conv stack (head:254-258).
+
+    Three ConvTranspose3d(768, 768, k=(3,5,5), stride=(1,2,2), pad=(2,4,4),
+    dilation=(2,2,2), output_padding=(0,1,1)) — each doubles h and w and
+    preserves z.  NDHWC layout; lax padding derived from the torch params:
+    lo = d*(k-1) - p, hi = lo + output_padding.
+    """
+    channels: int = 768
+    num_stages: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, Z, H, W, C)
+        for i in range(self.num_stages):
+            x = nn.ConvTranspose(
+                features=self.channels,
+                kernel_size=(3, 5, 5),
+                strides=(1, 2, 2),
+                padding=((2, 2), (4, 5), (4, 5)),
+                kernel_dilation=(2, 2, 2),
+                dtype=self.dtype,
+                name=f"up{i}")(x)
+        return x
+
+
+class VoxelFormerOccupancyHead(nn.Module):
+    cfg: VERConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.voxel_embedding = self.param(
+            "voxel_embedding", nn.initializers.normal(1.0),
+            (cfg.bev_num, cfg.embed_dims))
+        self.positional_encoding = VoxelLearnedPositionalEncoding(
+            cfg.embed_dims, cfg.bev_z, cfg.bev_h, cfg.bev_w,
+            dtype=cfg.dtype, name="positional_encoding")
+        self.transformer = VoxelTransformer(cfg, name="transformer")
+        if not cfg.only_occ:
+            self.query_embedding = self.param(
+                "query_embedding", nn.initializers.normal(1.0),
+                (cfg.num_query, cfg.embed_dims * 2))
+            self.query_layout_embedding = self.param(
+                "query_layout_embedding", nn.initializers.normal(1.0),
+                (cfg.num_layout_query, cfg.embed_dims * 2))
+            self.cls_branches = [
+                ClsBranch(cfg.embed_dims, cfg.num_classes, cfg.num_reg_fcs,
+                          dtype=cfg.dtype, name=f"cls_branch_{i}")
+                for i in range(cfg.decoder_layers)
+            ]
+            if cfg.add_layout:
+                self.layout_branches = [
+                    LayoutBranch(cfg.embed_dims, cfg.code_size,
+                                 cfg.num_reg_fcs, dtype=cfg.dtype,
+                                 name=f"layout_branch_{i}")
+                    for i in range(cfg.decoder_layers)
+                ]
+        if not cfg.only_det:
+            if cfg.bev_z == cfg.occ_zdim:
+                self.occ_proj = nn.Dense(cfg.occ_dims, dtype=cfg.dtype,
+                                         name="occ_proj")
+            else:
+                self.occ_proj = nn.Dense(cfg.occ_dims * cfg.occ_zdim,
+                                         dtype=cfg.dtype, name="occ_proj")
+            self.occ_branches = OccBranch(
+                cfg.occ_dims, cfg.occupancy_classes, cfg.num_occ_fcs,
+                dtype=cfg.dtype, name="occ_branches")
+            if cfg.refine_occ:
+                # each stage doubles (h, w); the reference's 15 -> 120 is 3
+                # stages (head:254-258) — derive from the grids so tiny test
+                # configs work too
+                ratio = cfg.occ_xdim // cfg.bev_w
+                stages = max(int(round(math.log2(ratio))), 0)
+                if (cfg.bev_w * 2 ** stages != cfg.occ_xdim
+                        or cfg.bev_h * 2 ** stages != cfg.occ_ydim):
+                    raise ValueError(
+                        "refine_occ requires occ_(x|y)dim = bev_(w|h) * 2^k"
+                        f" (got bev {cfg.bev_h}x{cfg.bev_w}, occ "
+                        f"{cfg.occ_ydim}x{cfg.occ_xdim})")
+                self.up_sample = OccUpsampler(
+                    cfg.embed_dims, num_stages=stages, dtype=cfg.dtype,
+                    name="up_sample")
+
+    # ------------------------------------------------------------------
+    def _occupancy_from_voxels(self, voxel_embed, refined: bool,
+                               spatial_hw=None):
+        """voxel_embed (B, bev_num, C) or refined (B, Z, H', W', C) ->
+        occupancy logits (B, n_vox_out, occupancy_classes) flattened
+        z-major, y, x."""
+        cfg = self.cfg
+        if refined:
+            x = voxel_embed  # (B, Z, H', W', C)
+        else:
+            x = voxel_embed.reshape(-1, cfg.bev_z, cfg.bev_h, cfg.bev_w,
+                                    cfg.embed_dims)
+        b, z, h, w, c = x.shape
+        if cfg.bev_z == cfg.occ_zdim:
+            occ = self.occ_proj(x)  # (B, Z, H, W, occ_dims)
+            occ = occ.reshape(b, -1, cfg.occ_dims)
+        else:
+            # fuse the z axis: (B, H, W, Z*C) -> (B, H, W, occ_z*occ_dims)
+            x = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, z * c)
+            occ = self.occ_proj(x)
+            occ = occ.reshape(b, h, w, cfg.occ_zdim, cfg.occ_dims)
+            occ = occ.transpose(0, 3, 1, 2, 4)  # (B, occ_z, H, W, occ_dims)
+            occ = occ.reshape(b, -1, cfg.occ_dims)
+        return self.occ_branches(occ)
+
+    def _decode_coords(self, raw_preds, refs_before, value_range):
+        """Per-layer box decode (head:587-606): xy/z offsets added to
+        inverse-sigmoid refs, sigmoided, scaled to ``value_range``; the
+        remaining code dims stay raw."""
+        lo = jnp.asarray(value_range[:3], dtype=jnp.float32)
+        hi = jnp.asarray(value_range[3:], dtype=jnp.float32)
+
+        def inv_sig(v):
+            v = jnp.clip(v, 0.0, 1.0)
+            return jnp.log(jnp.clip(v, 1e-5, None)
+                           / jnp.clip(1.0 - v, 1e-5, None))
+
+        xy = jax.nn.sigmoid(raw_preds[..., 0:2]
+                            + inv_sig(refs_before[..., 0:2]))
+        z = jax.nn.sigmoid(raw_preds[..., 4:5]
+                           + inv_sig(refs_before[..., 2:3]))
+        cx = xy[..., 0:1] * (hi[0] - lo[0]) + lo[0]
+        cy = xy[..., 1:2] * (hi[1] - lo[1]) + lo[1]
+        cz = z * (hi[2] - lo[2]) + lo[2]
+        return jnp.concatenate(
+            [cx, cy, raw_preds[..., 2:4], cz, raw_preds[..., 5:]], axis=-1)
+
+    # ------------------------------------------------------------------
+    def __call__(self, features, world2pixel, origin_shift,
+                 deterministic: bool = True, only_bev: bool = False):
+        """features (B, num_cams, feat_h, feat_w, C); world2pixel
+        (B, num_cams, 4, 4); origin_shift (B, 3).
+
+        Returns a dict mirroring the reference's ``outs`` (head:615-625).
+        """
+        cfg = self.cfg
+        b = features.shape[0]
+        voxel_queries = jnp.broadcast_to(
+            self.voxel_embedding[None], (b,) + self.voxel_embedding.shape
+        ).astype(cfg.dtype)
+        # bev_pos computed for parity/TSA use; inert on the active path
+        # (see encoder.py docstring).
+        _ = self.positional_encoding(b)
+
+        if only_bev or cfg.only_occ:
+            bev_embed = self.transformer.get_voxel_features(
+                features, voxel_queries, world2pixel, origin_shift,
+                deterministic=deterministic)
+            if only_bev:
+                return {"bev_embed": bev_embed}
+            occupancy_preds = self._occupancy_from_voxels(
+                bev_embed, refined=False)
+            return {
+                "bev_embed": bev_embed,
+                "all_cls_scores": None,
+                "all_bbox_preds": None,
+                "all_layout_preds": None,
+                "occupancy_preds": occupancy_preds,
+                "flow_preds": None,
+            }
+
+        bev_embed, hs, raw_preds, refs_before = self.transformer(
+            features, voxel_queries, self.query_embedding,
+            world2pixel, origin_shift, deterministic=deterministic)
+
+        all_cls_scores = jnp.stack([
+            self.cls_branches[l](hs[l]) for l in range(cfg.decoder_layers)
+        ])
+        all_bbox_preds = self._decode_coords(raw_preds, refs_before,
+                                             cfg.pc_range)
+
+        all_layout_preds = None
+        if cfg.add_layout:
+            raw_layout = jnp.stack([
+                self.layout_branches[l](hs[l])
+                for l in range(cfg.decoder_layers)
+            ])
+            all_layout_preds = self._decode_coords(raw_layout, refs_before,
+                                                   cfg.layout_range)
+
+        occupancy_preds = None
+        if not cfg.only_det:
+            if cfg.refine_occ:
+                vol = bev_embed.reshape(b, cfg.bev_z, cfg.bev_h, cfg.bev_w,
+                                        cfg.embed_dims)
+                vol = self.up_sample(vol)  # (B, Z, occ_y, occ_x, C)
+                occupancy_preds = self._occupancy_from_voxels(
+                    vol, refined=True)
+            else:
+                occupancy_preds = self._occupancy_from_voxels(
+                    bev_embed, refined=False)
+
+        return {
+            "bev_embed": bev_embed,
+            "all_cls_scores": all_cls_scores,
+            "all_bbox_preds": all_bbox_preds,
+            "all_layout_preds": all_layout_preds,
+            "occupancy_preds": occupancy_preds,
+            "flow_preds": None,
+        }

@@ -1,0 +1,172 @@
+"""Multi-scale deformable attention — pure-XLA reference implementations.
+
+These functions define the exact semantics of the reference's two native
+sampling paths and serve as the correctness oracle for the Pallas kernels:
+
+* 2D: mmcv's CUDA ``ms_deform_attn_forward`` / its pure-PyTorch fallback
+  ``multi_scale_deformable_attn_pytorch`` (used by the encoder's spatial
+  cross-attention, reference spatial_cross_attention.py:387-398).
+* 3D: ``voxel_multi_scale_deformable_attn_pytorch``
+  (voxel_temporal_self_attention.py:275-335), used by the DETR decoder's
+  3D cross-attention over the voxel grid.
+
+Both operate on static shapes; ``spatial_shapes`` is a Python tuple of
+per-level shapes so levels unroll at trace time.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+from .sampling import bilinear_sample_2d, trilinear_sample_3d
+
+
+def ms_deform_attn_2d_onehot(value: jnp.ndarray,
+                             spatial_shapes: Sequence[Tuple[int, int]],
+                             sampling_locations: jnp.ndarray,
+                             attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """MXU formulation of 2D deformable attention.
+
+    TPUs hate gathers; bilinear sampling of P points per query is instead
+    expressed as a dense (num_query, H*W) interpolation matrix applied with
+    a matmul: the one-hot of an out-of-range tap index is all-zeros, so
+    grid_sample's zero padding emerges naturally.  Per (batch, head, level):
+
+        A[q, y*W+x] = sum_p w[q,p] * Y_p[q,y] * X_p[q,x]
+        out = A @ V                                  (MXU)
+
+    Semantics identical to :func:`ms_deform_attn_2d` (the gather oracle).
+    """
+    bs, _, num_heads, head_dim = value.shape
+    _, num_query = sampling_locations.shape[:2]
+    num_points = sampling_locations.shape[4]
+    starts = []
+    s = 0
+    for (h, w) in spatial_shapes:
+        starts.append(s)
+        s += h * w
+
+    out = jnp.zeros((bs, num_heads, num_query, head_dim), value.dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        vl = value[:, starts[lvl]:starts[lvl] + h * w]      # (bs, hw, H, d)
+        vl = vl.transpose(0, 2, 1, 3)                        # (bs, H, hw, d)
+        loc = sampling_locations[:, :, :, lvl]               # (bs,nq,H,P,2)
+        px = loc[..., 0] * w - 0.5
+        py = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        ax = (px - x0)[..., None]
+        ay = (py - y0)[..., None]
+        ix = jnp.arange(w, dtype=px.dtype)
+        iy = jnp.arange(h, dtype=py.dtype)
+        # one-hot tap rows; out-of-range indices give all-zero rows = padding
+        X = ((ix == x0[..., None]) * (1 - ax)
+             + (ix == x0[..., None] + 1) * ax)               # (bs,nq,H,P,w)
+        Y = ((iy == y0[..., None]) * (1 - ay)
+             + (iy == y0[..., None] + 1) * ay)               # (bs,nq,H,P,h)
+        wgt = attention_weights[:, :, :, lvl]                # (bs,nq,H,P)
+        # A[b,H,q,y,x] = sum_p w * Y * X  -> then contract (y,x) with V
+        A = jnp.einsum("bqhp,bqhpy,bqhpx->bhqyx", wgt, Y, X)
+        A = A.reshape(bs, num_heads, num_query, h * w)
+        out = out + jnp.einsum("bhqs,bhsd->bhqd", A,
+                               vl.astype(A.dtype),
+                               preferred_element_type=jnp.float32
+                               ).astype(value.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(bs, num_query,
+                                             num_heads * head_dim)
+
+
+def ms_deform_attn_2d(value: jnp.ndarray,
+                      spatial_shapes: Sequence[Tuple[int, int]],
+                      sampling_locations: jnp.ndarray,
+                      attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """2D multi-scale deformable attention.
+
+    Args:
+      value: ``(bs, num_value, num_heads, head_dim)`` where ``num_value`` is
+        the concatenation of all level feature maps flattened row-major
+        (h, w).
+      spatial_shapes: static per-level ``(h, w)``.
+      sampling_locations: ``(bs, num_query, num_heads, num_levels,
+        num_points, 2)`` — (x, y) in [0, 1].
+      attention_weights: ``(bs, num_query, num_heads, num_levels,
+        num_points)`` (already softmaxed over levels*points).
+
+    Returns:
+      ``(bs, num_query, num_heads * head_dim)``.
+    """
+    bs, _, num_heads, head_dim = value.shape
+    _, num_query = sampling_locations.shape[:2]
+    starts = []
+    s = 0
+    for (h, w) in spatial_shapes:
+        starts.append(s)
+        s += h * w
+    assert s == value.shape[1], (s, value.shape)
+
+    out = jnp.zeros((bs, num_heads, num_query, head_dim),
+                    dtype=value.dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        vl = value[:, starts[lvl]:starts[lvl] + h * w]           # (bs, hw, H, d)
+        vl = vl.transpose(0, 2, 1, 3).reshape(bs, num_heads, h, w, head_dim)
+        loc = sampling_locations[:, :, :, lvl]                    # (bs, nq, H, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        # -> (bs, H, nq*P)
+        x = x.transpose(0, 2, 1, 3).reshape(bs, num_heads, -1)
+        y = y.transpose(0, 2, 1, 3).reshape(bs, num_heads, -1)
+        sampled = bilinear_sample_2d(vl, x, y)                    # (bs, H, nq*P, d)
+        sampled = sampled.reshape(bs, num_heads, num_query, -1, head_dim)
+        wgt = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # (bs,H,nq,P)
+        out = out + jnp.sum(sampled * wgt[..., None], axis=-2)
+    return out.transpose(0, 2, 1, 3).reshape(bs, num_query,
+                                             num_heads * head_dim)
+
+
+def voxel_deform_attn_3d(value: jnp.ndarray,
+                         spatial_shapes: Sequence[Tuple[int, int, int]],
+                         sampling_locations: jnp.ndarray,
+                         attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """3D deformable attention over a voxel grid (trilinear taps).
+
+    Args:
+      value: ``(bs, num_value, num_heads, head_dim)``, levels concatenated,
+        each flattened (d, h, w) row-major.
+      spatial_shapes: static per-level ``(d, h, w)``.
+      sampling_locations: ``(bs, num_query, num_heads, num_levels,
+        num_points, 3)`` — (x, y, z) in [0, 1].
+      attention_weights: ``(bs, num_query, num_heads, num_levels,
+        num_points)``.
+
+    Returns:
+      ``(bs, num_query, num_heads * head_dim)``.
+    """
+    bs, _, num_heads, head_dim = value.shape
+    _, num_query = sampling_locations.shape[:2]
+    starts = []
+    s = 0
+    for (d, h, w) in spatial_shapes:
+        starts.append(s)
+        s += d * h * w
+    assert s == value.shape[1], (s, value.shape)
+
+    out = jnp.zeros((bs, num_heads, num_query, head_dim), dtype=value.dtype)
+    for lvl, (d, h, w) in enumerate(spatial_shapes):
+        vl = value[:, starts[lvl]:starts[lvl] + d * h * w]
+        vl = vl.transpose(0, 2, 1, 3).reshape(bs, num_heads, d, h, w,
+                                              head_dim)
+        loc = sampling_locations[:, :, :, lvl]                    # (bs,nq,H,P,3)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        z = loc[..., 2] * d - 0.5
+        x = x.transpose(0, 2, 1, 3).reshape(bs, num_heads, -1)
+        y = y.transpose(0, 2, 1, 3).reshape(bs, num_heads, -1)
+        z = z.transpose(0, 2, 1, 3).reshape(bs, num_heads, -1)
+        sampled = trilinear_sample_3d(vl, x, y, z)
+        sampled = sampled.reshape(bs, num_heads, num_query, -1, head_dim)
+        wgt = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
+        out = out + jnp.sum(sampled * wgt[..., None], axis=-2)
+    return out.transpose(0, 2, 1, 3).reshape(bs, num_query,
+                                             num_heads * head_dim)

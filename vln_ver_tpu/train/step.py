@@ -1,0 +1,55 @@
+"""Jitted train / eval steps.
+
+One XLA program per mode (SURVEY.md §7 design stance): ``make_train_step``
+returns a function (state, batch, rng) -> (state, metrics) that runs
+forward + losses + backward + AdamW update in a single compilation; under a
+mesh the same function pjit-shards over the batch axis (see
+vln_ver_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import VERConfig
+from .objective import compute_losses
+from .state import TrainConfig, TrainState
+
+
+def make_train_step(cfg: VERConfig, tc: TrainConfig,
+                    donate: bool = True) -> Callable:
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        def loss_fn(params):
+            outs = state.apply_fn(
+                params, batch["features"], batch["world2pixel"],
+                batch["origin_shift"], deterministic=False,
+                rngs={"dropout": rng})
+            loss_dict = compute_losses(cfg, outs, batch, matcher=tc.matcher)
+            total = sum(loss_dict.values())
+            return total, loss_dict
+
+        (total, loss_dict), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = dict(loss_dict)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: VERConfig) -> Callable:
+    """Forward-only step returning raw head outputs (decode is separate)."""
+    def eval_step(params, apply_fn, batch):
+        return apply_fn(params, batch["features"], batch["world2pixel"],
+                        batch["origin_shift"], deterministic=True)
+    return jax.jit(eval_step, static_argnums=(1,))
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
