@@ -52,23 +52,37 @@ def main():
     params = model.init(jax.random.PRNGKey(0), feats[:1], w2p[:1],
                         shift[:1])
 
-    # NOTE: the remote (axon) backend does not reliably block in
-    # block_until_ready; reduce to a scalar on device and fetch it to force
-    # completion of every timed iteration.
-    @jax.jit
-    def forward(params, feats, w2p, shift):
-        outs = model.apply(params, feats, w2p, shift, deterministic=True)
-        return (jnp.sum(outs["bev_embed"].astype(jnp.float32))
-                + jnp.sum(outs["occupancy_preds"].astype(jnp.float32)))
+    # Remote-backend-honest timing: the axon tunnel neither blocks in
+    # block_until_ready nor has negligible dispatch RTT, so we scan `iters`
+    # forwards INSIDE one jit — serialized by a data dependency — and fetch
+    # a single scalar.  Wall time then measures device compute, and the
+    # one-off RTT is subtracted out by differencing two scan lengths.
+    def run_n(n):
+        @jax.jit
+        def fn(params, feats, w2p, shift):
+            def body(carry, _):
+                f = feats + carry * jnp.bfloat16(0)
+                outs = model.apply(params, f, w2p, shift,
+                                   deterministic=True)
+                s = (jnp.sum(outs["bev_embed"].astype(jnp.float32))
+                     + jnp.sum(outs["occupancy_preds"].astype(jnp.float32)))
+                return s.astype(jnp.bfloat16), ()
+            s, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=n)
+            return s
+        return fn
 
+    short, long_ = run_n(2), run_n(2 + iters)
     for _ in range(warmup):
-        out = float(forward(params, feats, w2p, shift))
-
+        out = float(short(params, feats, w2p, shift))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = float(forward(params, feats, w2p, shift))
-    dt = time.perf_counter() - t0
+    out = float(short(params, feats, w2p, shift))
+    t_short = time.perf_counter() - t0
+    _ = float(long_(params, feats, w2p, shift))  # warm the long program
+    t0 = time.perf_counter()
+    out = float(long_(params, feats, w2p, shift))
+    t_long = time.perf_counter() - t0
     assert np.isfinite(out)
+    dt = max(t_long - t_short, 1e-6)
 
     volumes_per_sec = batch * iters / dt
 

@@ -1,0 +1,133 @@
+"""VLN agent tests: policy step shapes/masking, episodic memory, synthetic
+environment semantics, teacher rollout reaching the goal."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vln_ver_tpu.agent import (EpisodicMemory, PolicyConfig, VLNPolicy,
+                               init_memory, update_memory)
+from vln_ver_tpu.agent.env import R2REnv, make_synthetic_vln
+from vln_ver_tpu.agent.rollout import evaluate, run_episode
+
+CFG = PolicyConfig(embed_dims=32, num_heads=4, fusion_layers=1,
+                   text_layers=1, ffn_dim=64, vocab_size=100,
+                   max_text_len=16, max_nodes=12, bev_z=2, bev_h=4,
+                   bev_w=4, num_query_tokens=2)
+BEV_NUM = CFG.bev_z * CFG.bev_h * CFG.bev_w
+
+
+def _policy_inputs(b=2, n_valid=5):
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((b, CFG.max_text_len), np.int32)
+    tokens[:, :6] = rng.integers(1, 100, (b, 6))
+    volume = rng.standard_normal((b, BEV_NUM, CFG.embed_dims)).astype(
+        np.float32)
+    mem = init_memory(b, CFG.max_nodes, CFG.embed_dims)
+    for i in range(n_valid):
+        mem = update_memory(
+            mem, jnp.full((b,), i, jnp.int32),
+            jnp.asarray(rng.standard_normal((b, CFG.embed_dims)),
+                        jnp.float32),
+            jnp.asarray(rng.standard_normal((b, 3)), jnp.float32),
+            jnp.asarray([i == 0] * b))
+    cur_pos = np.zeros((b, 3), np.float32)
+    cur_slot = np.zeros((b,), np.int32)
+    return tokens, volume, mem, cur_pos, cur_slot
+
+
+def test_memory_update_semantics():
+    mem = init_memory(1, 4, 8)
+    mem = update_memory(mem, jnp.asarray([2]), jnp.ones((1, 8)),
+                        jnp.ones((1, 3)), jnp.asarray([True]))
+    assert bool(mem.valid[0, 2]) and bool(mem.visited[0, 2])
+    assert int(mem.count[0]) == 1
+    # refresh without duplication
+    mem = update_memory(mem, jnp.asarray([2]), 2 * jnp.ones((1, 8)),
+                        jnp.ones((1, 3)), jnp.asarray([False]))
+    assert int(mem.count[0]) == 1
+    assert bool(mem.visited[0, 2])  # sticky
+    np.testing.assert_allclose(np.asarray(mem.features[0, 2]), 2.0)
+
+
+def test_policy_step_shapes_and_mask():
+    tokens, volume, mem, cur_pos, cur_slot = _policy_inputs()
+    policy = VLNPolicy(CFG)
+    params = policy.init(jax.random.PRNGKey(0), jnp.asarray(tokens),
+                         jnp.asarray(tokens) > 0, jnp.asarray(volume),
+                         mem, jnp.asarray(cur_pos), jnp.asarray(cur_slot))
+    out = policy.apply(params, jnp.asarray(tokens), jnp.asarray(tokens) > 0,
+                       jnp.asarray(volume), mem, jnp.asarray(cur_pos),
+                       jnp.asarray(cur_slot))
+    assert out.logits.shape == (2, 1 + CFG.max_nodes)
+    assert out.state_pred.shape == (2, 5)
+    logits = np.asarray(out.logits)
+    # stop always scoreable; current node and invalid slots masked
+    assert np.isfinite(logits[:, 0]).all()
+    assert (logits[:, 1] < -1e8).all()            # current node (slot 0)
+    assert (logits[:, 1 + 5:] < -1e8).all()       # invalid slots
+    assert np.isfinite(logits[:, 2:1 + 5]).all()
+
+
+def test_synthetic_env_teacher_reaches_goal(tmp_path):
+    episodes, graphs, ver = make_synthetic_vln(
+        str(tmp_path), num_scans=1, nodes_per_scan=9, num_episodes=4,
+        bev_num=BEV_NUM, embed_dims=CFG.embed_dims,
+        max_text_len=CFG.max_text_len)
+    env = R2REnv(episodes, graphs, ver, max_nodes=CFG.max_nodes)
+    for i in range(len(episodes)):
+        state = env.reset(i)
+        guard = 0
+        while not state["done"] and guard < 50:
+            a = env.teacher_action(state)
+            env.step(state, a)
+            guard += 1
+        m = env.metrics(state)
+        assert m["success"] == 1.0, (i, m)
+        assert m["spl"] > 0.99  # teacher follows the shortest path
+
+
+def test_rollout_and_evaluate_random_policy(tmp_path):
+    episodes, graphs, ver = make_synthetic_vln(
+        str(tmp_path), num_scans=1, nodes_per_scan=6, num_episodes=2,
+        bev_num=BEV_NUM, embed_dims=CFG.embed_dims,
+        max_text_len=CFG.max_text_len)
+    env = R2REnv(episodes, graphs, ver, max_nodes=CFG.max_nodes)
+    policy = VLNPolicy(CFG)
+    obs = env.observe(env.reset(0))
+    mem = init_memory(1, CFG.max_nodes, CFG.embed_dims)
+    params = policy.init(
+        jax.random.PRNGKey(0), jnp.asarray(obs["instruction"])[None],
+        jnp.asarray(obs["instruction"])[None] > 0,
+        jnp.asarray(obs["volume"])[None], mem,
+        jnp.asarray(obs["cur_pos"])[None],
+        jnp.asarray(obs["cur_slot"])[None])
+    metrics = evaluate(policy, params, env, CFG, limit=2)
+    assert set(metrics) == {"nav_error", "success", "spl",
+                            "oracle_success", "traj_length"}
+    assert np.isfinite(list(metrics.values())).all()
+
+
+def test_imitation_loss_grad_flows(tmp_path):
+    from vln_ver_tpu.agent.rollout import imitation_step_loss
+
+    tokens, volume, mem, cur_pos, cur_slot = _policy_inputs()
+    policy = VLNPolicy(CFG)
+    params = policy.init(jax.random.PRNGKey(0), jnp.asarray(tokens),
+                         jnp.asarray(tokens) > 0, jnp.asarray(volume),
+                         mem, jnp.asarray(cur_pos), jnp.asarray(cur_slot))
+    batch = dict(instruction=jnp.asarray(tokens),
+                 volume=jnp.asarray(volume), memory=mem,
+                 cur_pos=jnp.asarray(cur_pos),
+                 cur_slot=jnp.asarray(cur_slot),
+                 teacher=jnp.asarray([2, 3], jnp.int32))
+
+    def loss_fn(p):
+        loss, _ = imitation_step_loss(policy, p, batch,
+                                      state_targets=jnp.zeros((2, 5)))
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert gnorm > 0

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""VLN agent imitation training over VER volumes.
+
+Covers the paper's agent half (absent from the reference repo): teacher-
+forced cross-entropy on shortest-path actions + volume-state auxiliary
+loss, periodic greedy evaluation (SR / SPL / nav error / oracle SR).
+
+Usage:
+  python tools/train_vln.py --synthetic --steps 200           # rehearsal
+  python tools/train_vln.py --data-dir data/r2r --ver data/ver.hdf5 \
+      --connectivity data/connectivity                        # real R2R
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--connectivity", default=None)
+    p.add_argument("--ver", default=None, help="VER hdf5 from get_occ")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--eval-interval", type=int, default=100)
+    p.add_argument("--eval-limit", type=int, default=8)
+    p.add_argument("--work-dir", default="work_dirs/vln")
+    p.add_argument("--embed-dims", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from vln_ver_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vln_ver_tpu.agent import PolicyConfig, VLNPolicy, init_memory
+    from vln_ver_tpu.agent.env import R2REnv, make_synthetic_vln
+    from vln_ver_tpu.agent.rollout import (evaluate, imitation_step_loss,
+                                           run_episode)
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+
+    if args.synthetic:
+        dims = args.embed_dims or 64
+        cfg = PolicyConfig(embed_dims=dims, num_heads=4, fusion_layers=2,
+                           text_layers=2, ffn_dim=2 * dims, vocab_size=128,
+                           max_text_len=16, max_nodes=16, bev_z=2,
+                           bev_h=4, bev_w=4, num_query_tokens=4)
+        bev_num = cfg.bev_z * cfg.bev_h * cfg.bev_w
+        episodes, graphs, ver = make_synthetic_vln(
+            os.path.join(args.work_dir, "synvln"), num_scans=2,
+            nodes_per_scan=9, num_episodes=16, bev_num=bev_num,
+            embed_dims=dims, max_text_len=cfg.max_text_len)
+    else:
+        from vln_ver_tpu.agent.data import (load_graphs, load_r2r_split,
+                                            load_ver_features)
+        dims = args.embed_dims or 768
+        cfg = PolicyConfig(embed_dims=dims)
+        episodes, vocab = load_r2r_split(args.data_dir, "train", None,
+                                         cfg.max_text_len)
+        cfg = PolicyConfig(embed_dims=dims, vocab_size=len(vocab))
+        graphs = load_graphs(args.connectivity,
+                             [e["scan"] for e in episodes])
+        ver = load_ver_features(args.ver)
+
+    env = R2REnv(episodes, graphs, ver, max_nodes=cfg.max_nodes)
+    policy = VLNPolicy(cfg)
+
+    obs = env.observe(env.reset(0))
+    mem0 = init_memory(1, cfg.max_nodes, cfg.embed_dims)
+    params = policy.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.asarray(obs["instruction"])[None],
+        jnp.asarray(obs["instruction"])[None] > 0,
+        jnp.asarray(obs["volume"])[None], mem0,
+        jnp.asarray(obs["cur_pos"])[None],
+        jnp.asarray(obs["cur_slot"])[None])
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    print(f"policy params: {n_params/1e6:.2f}M, episodes: {len(episodes)}")
+
+    tx = optax.chain(optax.clip_by_global_norm(40.0), optax.adamw(args.lr))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def update(params, opt_state, batch):
+        def loss_fn(p):
+            return imitation_step_loss(policy, p, batch)
+        (loss, aux), grads = jax.value_and_grad(loss_fn,
+                                                has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss, aux
+
+    logf = open(os.path.join(args.work_dir, "vln_log.jsonl"), "a")
+    t0 = time.perf_counter()
+    step = 0
+    losses = []
+    while step < args.steps:
+        ep_idx = int(rng.integers(len(episodes)))
+        _, trace = run_episode(policy, params, env, ep_idx, cfg,
+                               greedy=True, collect_teacher=True)
+        for rec in trace:
+            obs = rec["obs"]
+            batch = dict(
+                instruction=jnp.asarray(obs["instruction"])[None],
+                volume=jnp.asarray(obs["volume"])[None],
+                memory=rec["memory"],
+                cur_pos=jnp.asarray(obs["cur_pos"])[None],
+                cur_slot=jnp.asarray(obs["cur_slot"])[None],
+                teacher=jnp.asarray([rec["teacher"]], jnp.int32))
+            params, opt_state, loss, aux = update(params, opt_state, batch)
+            losses.append(float(loss))
+            step += 1
+            if step % 25 == 0:
+                avg = float(np.mean(losses[-25:]))
+                print(f"step {step}: nll={avg:.4f} "
+                      f"({(time.perf_counter()-t0)/step:.2f}s/step)")
+                logf.write(json.dumps(dict(step=step, loss=avg)) + "\n")
+                logf.flush()
+            if step % args.eval_interval == 0 or step >= args.steps:
+                m = evaluate(policy, params, env, cfg,
+                             limit=args.eval_limit)
+                m["step"] = step
+                print("eval:", {k: round(float(v), 3)
+                                for k, v in m.items()})
+                logf.write(json.dumps(m) + "\n")
+                logf.flush()
+            if step >= args.steps:
+                break
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""R2R episode data loading + tokenizer.
+
+Reads the standard R2R release layout:
+  R2R_{split}.json — [{scan, path: [viewpoint,...], heading,
+                       instructions: [str x3]}, ...]
+  connectivity/{scan}_connectivity.json
+VER features per viewpoint come from the HDF5 written by tools/get_occ.py.
+
+Instructions are tokenized with a whitespace vocab built from the training
+split (id 0 = pad, 1 = unk) — the lightweight stand-in for the paper's
+pretrained text front-end; swap in a converted BERT vocab later without
+touching the policy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .env import NavGraph, load_connectivity
+
+_TOKEN_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]")
+
+
+def tokenize(text: str) -> List[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+class Vocab:
+    def __init__(self, words: List[str]):
+        self.itos = ["<pad>", "<unk>"] + words
+        self.stoi = {w: i for i, w in enumerate(self.itos)}
+
+    @classmethod
+    def build(cls, texts: List[str], min_count: int = 2,
+              max_size: int = 4000) -> "Vocab":
+        from collections import Counter
+        counts = Counter()
+        for t in texts:
+            counts.update(tokenize(t))
+        words = [w for w, c in counts.most_common(max_size - 2)
+                 if c >= min_count]
+        return cls(words)
+
+    def encode(self, text: str, max_len: int) -> np.ndarray:
+        ids = [self.stoi.get(w, 1) for w in tokenize(text)][:max_len]
+        out = np.zeros((max_len,), np.int32)
+        out[:len(ids)] = ids
+        return out
+
+    def __len__(self):
+        return len(self.itos)
+
+
+def load_r2r_split(data_dir: str, split: str, vocab: Optional[Vocab],
+                   max_text_len: int = 80
+                   ) -> Tuple[List[Dict], Optional[Vocab]]:
+    """Returns (episodes, vocab); one episode per (item, instruction)."""
+    path = os.path.join(data_dir, f"R2R_{split}.json")
+    with open(path) as f:
+        items = json.load(f)
+    if vocab is None:
+        vocab = Vocab.build([ins for it in items
+                             for ins in it["instructions"]])
+    episodes = []
+    for it in items:
+        for ins in it["instructions"]:
+            episodes.append(dict(
+                scan=it["scan"], path=it["path"],
+                heading=it.get("heading", 0.0),
+                instructions=[ins],
+                instruction_tokens=vocab.encode(ins, max_text_len)))
+    return episodes, vocab
+
+
+def load_graphs(connectivity_dir: str,
+                scans: List[str]) -> Dict[str, NavGraph]:
+    return {s: load_connectivity(
+        os.path.join(connectivity_dir, f"{s}_connectivity.json"))
+        for s in set(scans)}
+
+
+def load_ver_features(hdf5_path: str) -> Dict[str, np.ndarray]:
+    """Load all VER volumes (token -> (bev_num, C)); the dump layout is
+    (C, Z, H, W) (tools/get_occ.py), flattened back to (Z*H*W, C)."""
+    import h5py
+    out = {}
+    with h5py.File(hdf5_path, "r") as f:
+        for k in f:
+            v = f[k][:]
+            c = v.shape[0]
+            out[k] = v.reshape(c, -1).T.astype(np.float32)
+    return out

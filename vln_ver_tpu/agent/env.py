@@ -1,0 +1,251 @@
+"""R2R-format episode environment (host-side graph stepping).
+
+Loads the standard R2R data layout — ``{split}.json`` instruction episodes
+({scan, path, heading, instructions}) + per-scan connectivity graphs — and
+steps an agent over the navigation graph.  Per-viewpoint VER features come
+from the HDF5 produced by tools/get_occ.py (key = '{scan}_{viewpoint}').
+
+Matterport data is licence-gated, so a synthetic generator emits the same
+format (graph json + episodes + VER hdf5) for tests and rehearsal.
+
+The environment exposes static-shape observations keyed by stable node
+slots (viewpoint -> slot id assigned on first discovery, capacity
+``max_nodes``) so the jitted policy/rollout never sees dynamic shapes.
+DUET-style action semantics: choosing a memory node teleports the agent
+along the known graph (shortest path over discovered edges); choosing slot
+-1/stop ends the episode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class NavGraph:
+    def __init__(self, positions: Dict[str, np.ndarray],
+                 edges: Dict[str, List[str]]):
+        self.positions = positions
+        self.edges = edges
+
+    def distance(self, a: str, b: str) -> float:
+        return float(np.linalg.norm(self.positions[a] - self.positions[b]))
+
+    def shortest_paths(self, src: str) -> Dict[str, Tuple[float, str]]:
+        """Dijkstra: node -> (distance, first hop from src)."""
+        import heapq
+        dist = {src: 0.0}
+        first = {src: src}
+        heap = [(0.0, src)]
+        seen = set()
+        while heap:
+            d, u = heapq.heappop(heap)
+            if u in seen:
+                continue
+            seen.add(u)
+            for v in self.edges[u]:
+                nd = d + self.distance(u, v)
+                if v not in dist or nd < dist[v] - 1e-9:
+                    dist[v] = nd
+                    first[v] = v if u == src else first[u]
+                    heapq.heappush(heap, (nd, v))
+        return {k: (dist[k], first[k]) for k in dist}
+
+
+def load_connectivity(path: str) -> NavGraph:
+    """Parse a Matterport connectivity json (list of nodes with
+    'image_id', 'pose' 4x4 row-major, 'unobstructed' adjacency bools,
+    'included')."""
+    with open(path) as f:
+        data = json.load(f)
+    ids = [d["image_id"] for d in data]
+    positions, edges = {}, {}
+    for i, d in enumerate(data):
+        if not d.get("included", True):
+            continue
+        pose = np.asarray(d["pose"], dtype=np.float32).reshape(4, 4)
+        positions[ids[i]] = pose[:3, 3]
+        adj = []
+        for j, ok in enumerate(d["unobstructed"]):
+            if ok and data[j].get("included", True):
+                adj.append(ids[j])
+        edges[ids[i]] = adj
+    return NavGraph(positions, edges)
+
+
+class R2REnv:
+    """Batch-1-per-episode environment over precomputed VER volumes."""
+
+    def __init__(self, episodes: List[Dict], graphs: Dict[str, NavGraph],
+                 ver_features: Dict[str, np.ndarray],
+                 max_nodes: int = 32, success_radius: float = 3.0):
+        self.episodes = episodes
+        self.graphs = graphs
+        self.ver = ver_features
+        self.max_nodes = max_nodes
+        self.success_radius = success_radius
+
+    # -- helpers -------------------------------------------------------
+    def _slot(self, state, vp: str) -> int:
+        if vp not in state["slot_of"]:
+            idx = len(state["slot_of"])
+            if idx >= self.max_nodes:
+                # recycle the oldest non-current slot (bounded memory)
+                idx = state["steps"] % self.max_nodes
+            state["slot_of"][vp] = idx
+            state["vp_of"][idx] = vp
+        return state["slot_of"][vp]
+
+    def reset(self, ep_idx: int) -> Dict:
+        ep = self.episodes[ep_idx]
+        graph = self.graphs[ep["scan"]]
+        start = ep["path"][0]
+        goal = ep["path"][-1]
+        state = dict(ep=ep, graph=graph, cur=start, goal=goal,
+                     slot_of={}, vp_of={}, steps=0, traj=[start],
+                     length=0.0, done=False)
+        self._discover(state)
+        return state
+
+    def _discover(self, state) -> None:
+        """Register current node + its neighbours into memory slots."""
+        self._slot(state, state["cur"])
+        for nb in state["graph"].edges[state["cur"]]:
+            self._slot(state, nb)
+
+    def observe(self, state) -> Dict[str, np.ndarray]:
+        """Static-shape observation for the policy + memory update info."""
+        ep = state["ep"]
+        graph = state["graph"]
+        cur = state["cur"]
+        token = f"{ep['scan']}_{cur}"
+        volume = self.ver[token]
+        n = self.max_nodes
+        node_pos = np.zeros((n, 3), np.float32)
+        node_valid = np.zeros((n,), bool)
+        for vp, s in state["slot_of"].items():
+            node_pos[s] = graph.positions[vp]
+            node_valid[s] = True
+        return dict(
+            volume=volume.astype(np.float32),
+            cur_pos=graph.positions[cur].astype(np.float32),
+            cur_slot=np.int32(state["slot_of"][cur]),
+            node_pos=node_pos, node_valid=node_valid,
+            instruction=ep["instruction_tokens"],
+        )
+
+    def teacher_action(self, state) -> int:
+        """0 = stop, 1+slot = go to that node: the discovered node that
+        most reduces shortest-path distance to the goal."""
+        graph = state["graph"]
+        cur, goal = state["cur"], state["goal"]
+        if graph.distance(cur, goal) < self.success_radius and \
+                cur == goal or cur == goal:
+            return 0
+        sp = graph.shortest_paths(cur)
+        if goal not in sp:
+            return 0
+        if sp[goal][0] < 1e-6:
+            return 0
+        # best discovered node = next hop on the shortest path
+        nxt = sp[goal][1]
+        return 1 + state["slot_of"][nxt]
+
+    def step(self, state, action: int) -> None:
+        """action 0 = stop; else teleport along the graph to slot-1."""
+        state["steps"] += 1
+        if action == 0 or state["steps"] > 2 * self.max_nodes:
+            state["done"] = True
+            return
+        target = state["vp_of"].get(action - 1)
+        if target is None or target == state["cur"]:
+            state["done"] = True
+            return
+        graph = state["graph"]
+        sp = graph.shortest_paths(state["cur"])
+        if target not in sp:
+            state["done"] = True
+            return
+        # walk the graph to the target (accumulating true path length)
+        cur = state["cur"]
+        while cur != target:
+            hop = graph.shortest_paths(cur)[target][1]
+            state["length"] += graph.distance(cur, hop)
+            cur = hop
+            state["traj"].append(cur)
+        state["cur"] = target
+        self._discover(state)
+
+    def metrics(self, state) -> Dict[str, float]:
+        graph = state["graph"]
+        ep = state["ep"]
+        err = graph.distance(state["cur"], state["goal"])
+        success = float(err < self.success_radius)
+        gt_len = 0.0
+        for a, b in zip(ep["path"][:-1], ep["path"][1:]):
+            gt_len += graph.distance(a, b)
+        spl = success * gt_len / max(state["length"], gt_len, 1e-6)
+        oracle = min(
+            graph.distance(v, state["goal"]) for v in state["traj"])
+        return dict(nav_error=err, success=success, spl=spl,
+                    oracle_success=float(oracle < self.success_radius),
+                    traj_length=state["length"])
+
+
+def make_synthetic_vln(root: str, num_scans: int = 2, nodes_per_scan: int = 9,
+                       num_episodes: int = 8, bev_num: int = 900,
+                       embed_dims: int = 768, vocab: int = 100,
+                       max_text_len: int = 16, seed: int = 0):
+    """Grid-graph scans + random VER features + shortest-path episodes, in
+    the R2R on-disk format. Returns (episodes, graphs, ver_features)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    graphs, ver = {}, {}
+    side = int(np.ceil(np.sqrt(nodes_per_scan)))
+    for s in range(num_scans):
+        scan = f"syn{s:02d}"
+        positions, edges = {}, {}
+        for i in range(nodes_per_scan):
+            vp = f"n{i:02d}"
+            gx, gy = i % side, i // side
+            positions[vp] = np.array(
+                [gx * 2.5, gy * 2.5, 0.0], np.float32) + rng.normal(
+                    0, 0.1, 3).astype(np.float32)
+            edges[vp] = []
+        for i in range(nodes_per_scan):
+            for j in range(nodes_per_scan):
+                if i == j:
+                    continue
+                d = np.linalg.norm(
+                    positions[f"n{i:02d}"] - positions[f"n{j:02d}"])
+                if d < 3.0:
+                    edges[f"n{i:02d}"].append(f"n{j:02d}")
+        graphs[scan] = NavGraph(positions, edges)
+        for vp in positions:
+            ver[f"{scan}_{vp}"] = rng.standard_normal(
+                (bev_num, embed_dims)).astype(np.float32)
+
+    episodes = []
+    for e in range(num_episodes):
+        scan = f"syn{e % num_scans:02d}"
+        g = graphs[scan]
+        nodes = sorted(g.positions)
+        start, goal = rng.choice(nodes, 2, replace=False)
+        sp = g.shortest_paths(start)
+        if goal not in sp:
+            goal = start
+        path = [start]
+        cur = start
+        while cur != goal:
+            cur = g.shortest_paths(cur)[goal][1]
+            path.append(cur)
+        toks = np.zeros((max_text_len,), np.int32)
+        ntok = int(rng.integers(4, max_text_len))
+        toks[:ntok] = rng.integers(1, vocab, ntok)
+        episodes.append(dict(scan=scan, path=path, heading=0.0,
+                             instruction_tokens=toks,
+                             instructions=["synthetic"]))
+    return episodes, graphs, ver

@@ -1,0 +1,55 @@
+"""Episodic memory: a fixed-capacity topological node bank.
+
+DUET-style global map, static-shaped for jit: up to ``max_nodes`` visited /
+frontier viewpoints, each with a pooled VER feature, a world position, and
+status flags.  Updates are pure functions producing a new memory pytree, so
+rollouts scan over steps inside one compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class EpisodicMemory(NamedTuple):
+    features: jnp.ndarray   # (B, max_nodes, C) pooled VER feature per node
+    positions: jnp.ndarray  # (B, max_nodes, 3)
+    valid: jnp.ndarray      # (B, max_nodes) bool — node exists
+    visited: jnp.ndarray    # (B, max_nodes) bool — agent has stood here
+    count: jnp.ndarray      # (B,) int32 number of valid nodes
+
+
+def init_memory(batch: int, max_nodes: int, embed_dims: int) -> EpisodicMemory:
+    return EpisodicMemory(
+        features=jnp.zeros((batch, max_nodes, embed_dims)),
+        positions=jnp.zeros((batch, max_nodes, 3)),
+        valid=jnp.zeros((batch, max_nodes), bool),
+        visited=jnp.zeros((batch, max_nodes), bool),
+        count=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def update_memory(mem: EpisodicMemory,
+                  node_idx: jnp.ndarray,
+                  feature: jnp.ndarray,
+                  position: jnp.ndarray,
+                  mark_visited: jnp.ndarray) -> EpisodicMemory:
+    """Write/refresh one node per batch element.
+
+    node_idx (B,) int32 slot; feature (B, C); position (B, 3);
+    mark_visited (B,) bool.  Slots are environment-assigned (stable per
+    viewpoint id) so revisits refresh features instead of duplicating.
+    """
+    b = jnp.arange(mem.features.shape[0])
+    feats = mem.features.at[b, node_idx].set(
+        feature.astype(mem.features.dtype))
+    pos = mem.positions.at[b, node_idx].set(
+        position.astype(mem.positions.dtype))
+    newly = ~mem.valid[b, node_idx]
+    valid = mem.valid.at[b, node_idx].set(True)
+    visited = mem.visited.at[b, node_idx].set(
+        mem.visited[b, node_idx] | mark_visited)
+    count = mem.count + newly.astype(jnp.int32)
+    return EpisodicMemory(feats, pos, valid, visited, count)

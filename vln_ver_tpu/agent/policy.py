@@ -1,0 +1,179 @@
+"""Dual-scale cross-modal VLN policy over VER volumes.
+
+Designed from the paper (arXiv 2403.14158) + its DUET lineage: a *local*
+branch grounds the instruction in the current viewpoint's VER volume
+(fine-grained 3D context + volume state estimation), a *global* branch
+scores the episodic-memory nodes (topological map) for the next action; the
+action space is {stop} ∪ {memory nodes}, masked by validity — DUET's
+global action space.
+
+All shapes static; one policy step jits once and is scanned over rollout
+steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .memory import EpisodicMemory
+from .text import TextEncoder
+from .ver import VERTokenizer, VolumeStateHead
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicyConfig:
+    embed_dims: int = 768
+    num_heads: int = 8
+    fusion_layers: int = 4
+    text_layers: int = 4
+    ffn_dim: int = 1536
+    vocab_size: int = 4000
+    max_text_len: int = 80
+    max_nodes: int = 32
+    bev_z: int = 4
+    bev_h: int = 15
+    bev_w: int = 15
+    num_query_tokens: int = 8
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+
+class PolicyOutput(NamedTuple):
+    logits: jnp.ndarray       # (B, 1 + max_nodes): [stop, nodes...]
+    state_pred: jnp.ndarray   # (B, 5) volume state estimation
+    text_feats: jnp.ndarray   # (B, L, C) (reusable across steps)
+
+
+class _FusionBlock(nn.Module):
+    cfg: PolicyConfig
+
+    @nn.compact
+    def __call__(self, x, x_mask, text, text_mask, deterministic=True):
+        cfg = self.cfg
+        sa_mask = (x_mask[:, None, None, :]
+                   & x_mask[:, None, :, None])
+        y = nn.LayerNorm(dtype=cfg.dtype, name="ln_sa")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads, qkv_features=cfg.embed_dims,
+            dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+            name="self_attn")(y, y, y, mask=sa_mask,
+                              deterministic=deterministic)
+        x = x + y
+        ca_mask = text_mask[:, None, None, :]
+        y = nn.LayerNorm(dtype=cfg.dtype, name="ln_ca")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads, qkv_features=cfg.embed_dims,
+            dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+            name="cross_attn")(y, text, text, mask=ca_mask,
+                               deterministic=deterministic)
+        x = x + y
+        y = nn.LayerNorm(dtype=cfg.dtype, name="ln_ffn")(x)
+        y = nn.Dense(cfg.ffn_dim, dtype=cfg.dtype, name="fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(cfg.embed_dims, dtype=cfg.dtype, name="fc2")(y)
+        y = nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
+        return x + y
+
+
+class VLNPolicy(nn.Module):
+    cfg: PolicyConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.text_encoder = TextEncoder(
+            vocab_size=cfg.vocab_size, embed_dims=cfg.embed_dims,
+            num_layers=cfg.text_layers, num_heads=cfg.num_heads,
+            ffn_dim=cfg.ffn_dim, max_len=cfg.max_text_len,
+            dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+            name="text_encoder")
+        self.ver_tokenizer = VERTokenizer(
+            embed_dims=cfg.embed_dims, bev_z=cfg.bev_z, bev_h=cfg.bev_h,
+            bev_w=cfg.bev_w, num_query_tokens=cfg.num_query_tokens,
+            dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+            name="ver_tokenizer")
+        self.state_head = VolumeStateHead(cfg.embed_dims,
+                                          dtype=cfg.dtype,
+                                          name="volume_state_head")
+        self.local_blocks = [
+            _FusionBlock(cfg, name=f"local_block_{i}")
+            for i in range(cfg.fusion_layers)
+        ]
+        self.global_blocks = [
+            _FusionBlock(cfg, name=f"global_block_{i}")
+            for i in range(cfg.fusion_layers)
+        ]
+        self.stop_token = self.param("stop_token",
+                                     nn.initializers.normal(0.02),
+                                     (cfg.embed_dims,))
+        self.visited_embed = self.param("visited_embed",
+                                        nn.initializers.normal(0.02),
+                                        (2, cfg.embed_dims))
+        self.pos_mlp = nn.Dense(cfg.embed_dims, dtype=cfg.dtype,
+                                name="pos_mlp")
+        self.local_ctx_proj = nn.Dense(cfg.embed_dims, dtype=cfg.dtype,
+                                       name="local_ctx_proj")
+        self.score_head = nn.Dense(1, dtype=jnp.float32, name="score_head")
+        self.fuse_gate = nn.Dense(1, dtype=jnp.float32, name="fuse_gate")
+
+    def encode_text(self, tokens, text_mask, deterministic: bool = True):
+        return self.text_encoder(tokens, text_mask,
+                                 deterministic=deterministic)
+
+    def __call__(self, tokens, text_mask, volume, memory: EpisodicMemory,
+                 cur_pos, cur_node_idx,
+                 text_feats: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> PolicyOutput:
+        """One decision step.
+
+        tokens (B, L) int32 / text_mask (B, L); volume (B, bev_num, C) —
+        the current viewpoint's VER; memory — episodic map; cur_pos (B, 3);
+        cur_node_idx (B,) slot of the current node.
+        """
+        cfg = self.cfg
+        b = tokens.shape[0]
+        if text_feats is None:
+            text_feats = self.encode_text(tokens, text_mask,
+                                          deterministic=deterministic)
+
+        # -- local branch: instruction <-> current VER volume
+        local_tokens = self.ver_tokenizer(volume,
+                                          deterministic=deterministic)
+        state_pred = self.state_head(local_tokens)
+        lmask = jnp.ones((b, local_tokens.shape[1]), bool)
+        x_loc = local_tokens
+        for blk in self.local_blocks:
+            x_loc = blk(x_loc, lmask, text_feats, text_mask,
+                        deterministic=deterministic)
+        local_ctx = self.local_ctx_proj(jnp.mean(x_loc, axis=1))  # (B, C)
+
+        # -- global branch: instruction <-> episodic memory nodes
+        rel = memory.positions - cur_pos[:, None, :]
+        node_tok = (memory.features.astype(cfg.dtype)
+                    + self.pos_mlp(rel.astype(cfg.dtype))
+                    + self.visited_embed[memory.visited.astype(jnp.int32)])
+        stop = jnp.broadcast_to(self.stop_token[None, None, :],
+                                (b, 1, cfg.embed_dims)).astype(cfg.dtype)
+        # ground the stop token in the local context (stop decision depends
+        # on the fine-grained volume, not just the map)
+        stop = stop + local_ctx[:, None, :]
+        x = jnp.concatenate([stop, node_tok], axis=1)    # (B, 1+N, C)
+        xmask = jnp.concatenate(
+            [jnp.ones((b, 1), bool), memory.valid], axis=1)
+        for blk in self.global_blocks:
+            x = blk(x, xmask, text_feats, text_mask,
+                    deterministic=deterministic)
+
+        logits = self.score_head(x).squeeze(-1)          # (B, 1+N)
+        # action mask: stop always allowed; nodes must exist and not be the
+        # current node (DUET global action space)
+        node_ok = memory.valid & ~(
+            jax.nn.one_hot(cur_node_idx, cfg.max_nodes, dtype=jnp.int32)
+            .astype(bool))
+        ok = jnp.concatenate([jnp.ones((b, 1), bool), node_ok], axis=1)
+        logits = jnp.where(ok, logits, -1e9)
+        return PolicyOutput(logits, state_pred, text_feats)

@@ -1,0 +1,101 @@
+"""Episode rollouts: teacher-forced imitation training and greedy eval.
+
+The jitted pieces are the policy step and the loss; graph stepping stays
+host-side (BASELINE.json north star: "Matterport3D episode stepping stays
+host-side").  Imitation training follows the DUET/HAMT recipe the paper
+builds on: cross-entropy to the shortest-path teacher action at every step,
+plus the volume-state-estimation auxiliary loss.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .env import R2REnv
+from .memory import init_memory, update_memory
+from .policy import PolicyConfig, VLNPolicy
+
+
+def _to_batch(obs: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v)[None] for k, v in obs.items()}
+
+
+def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
+                cfg: PolicyConfig, greedy: bool = True,
+                rng=None, collect_teacher: bool = False):
+    """Roll one episode; returns (metrics, trace) where trace holds per-step
+    (logits, teacher_action) for imitation losses."""
+    state = env.reset(ep_idx)
+    mem = init_memory(1, cfg.max_nodes, cfg.embed_dims)
+    text_feats = None
+    trace: List[Dict] = []
+
+    step_fn = jax.jit(lambda p, *a, **k: policy.apply(p, *a, **k))
+
+    while not state["done"]:
+        obs = env.observe(state)
+        b = _to_batch(obs)
+        vol_feat = jnp.mean(b["volume"], axis=1)  # pooled VER for memory
+        mem = update_memory(mem, b["cur_slot"], vol_feat, b["cur_pos"],
+                            jnp.asarray([True]))
+        # register discovered-but-unvisited neighbours with position-only
+        # features so the global branch can score frontiers
+        node_valid = np.asarray(obs["node_valid"])
+        for slot in np.nonzero(node_valid)[0]:
+            if not bool(mem.valid[0, slot]):
+                mem = update_memory(
+                    mem, jnp.asarray([slot], jnp.int32),
+                    jnp.zeros((1, cfg.embed_dims)),
+                    jnp.asarray(obs["node_pos"][slot])[None],
+                    jnp.asarray([False]))
+
+        out = step_fn(params, b["instruction"],
+                      b["instruction"] > 0, b["volume"], mem,
+                      b["cur_pos"], b["cur_slot"], text_feats=text_feats)
+        text_feats = out.text_feats
+        teacher = env.teacher_action(state)
+        if collect_teacher:
+            trace.append(dict(obs=obs, teacher=teacher,
+                              memory=jax.device_get(mem)))
+        if greedy:
+            action = int(jnp.argmax(out.logits[0]))
+        else:
+            rng, sub = jax.random.split(rng)
+            action = int(jax.random.categorical(sub, out.logits[0]))
+        env.step(state, action)
+    return env.metrics(state), trace
+
+
+def evaluate(policy: VLNPolicy, params, env: R2REnv,
+             cfg: PolicyConfig, limit: int | None = None) -> Dict[str, float]:
+    n = min(len(env.episodes), limit or len(env.episodes))
+    agg: Dict[str, float] = {}
+    for i in range(n):
+        metrics, _ = run_episode(policy, params, env, i, cfg, greedy=True)
+        for k, v in metrics.items():
+            agg[k] = agg.get(k, 0.0) + v
+    return {k: v / n for k, v in agg.items()}
+
+
+def imitation_step_loss(policy: VLNPolicy, params, batch,
+                        state_targets=None):
+    """Cross-entropy to teacher actions for one decision step batch.
+
+    batch: instruction (B, L), volume (B, nvox, C), memory (EpisodicMemory),
+    cur_pos (B,3), cur_slot (B,), teacher (B,) int32.
+    """
+    out = policy.apply(params, batch["instruction"],
+                       batch["instruction"] > 0, batch["volume"],
+                       batch["memory"], batch["cur_pos"],
+                       batch["cur_slot"])
+    logp = jax.nn.log_softmax(out.logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, batch["teacher"][:, None],
+                               axis=1).mean()
+    aux = 0.0
+    if state_targets is not None:
+        aux = jnp.mean((out.state_pred - state_targets) ** 2)
+    return nll + 0.5 * aux, dict(action_nll=nll, state_mse=aux)

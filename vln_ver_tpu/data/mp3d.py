@@ -167,17 +167,22 @@ class MP3DDataset:
                 sample["layout_valid"] = np.zeros((1,), bool)
         if "occ_gt_path" in info:
             occ = np.load(info["occ_gt_path"])
-            sample["occ_dense"] = dense_from_sparse_np(
-                occ, self.voxel_num, self.occupancy_classes).astype(np.int32)
+            from .. import native
+            sample["occ_dense"] = native.dense_from_sparse(
+                occ, self.voxel_num, self.occupancy_classes)
         return sample
 
 
 def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    """Stack per-sample dicts into a batch (tokens kept as a list)."""
+    """Stack per-sample dicts into a batch (tokens kept as a list);
+    fp32 feature blocks go through the threaded native collator."""
+    from .. import native
     out: Dict = {}
     for k in samples[0]:
         if k == "token":
             out[k] = [s[k] for s in samples]
+        elif k == "features":
+            out[k] = native.collate_f32([s[k] for s in samples])
         else:
             out[k] = np.stack([s[k] for s in samples])
     return out

@@ -26,11 +26,10 @@ class SSCMetrics:
             visible_mask = np.asarray(visible_mask).reshape(-1)
             y_pred = y_pred[visible_mask == 1]
             y_true = y_true[visible_mask == 1]
-        k = (y_true >= 0) & (y_true < self.n_classes)
-        self.hist += np.bincount(
-            self.n_classes * y_true[k].astype(int) + y_pred[k].astype(int),
-            minlength=self.n_classes ** 2,
-        ).reshape(self.n_classes, self.n_classes)
+        from .. import native
+        self.hist += native.confusion_hist(
+            y_pred.astype(np.int32), y_true.astype(np.int32),
+            self.n_classes)
 
     def get_stats(self) -> dict:
         hist = self.hist

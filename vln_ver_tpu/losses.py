@@ -69,6 +69,25 @@ def weighted_l1_loss(pred: jnp.ndarray,
     return loss_weight * jnp.sum(loss) / jnp.maximum(avg_factor, 1.0)
 
 
+def softmax_ce_loss(logits: jnp.ndarray,
+                    labels: jnp.ndarray,
+                    weight: Optional[jnp.ndarray] = None,
+                    avg_factor: Optional[jnp.ndarray] = None,
+                    loss_weight: float = 1.0) -> jnp.ndarray:
+    """Softmax cross-entropy over C classes (labels in [0, C)); the
+    reference's ``occ_loss_type='ce_loss'`` variant where the last class is
+    empty (head:1527-1536)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if weight is not None:
+        nll = nll * weight.astype(jnp.float32)
+    total = jnp.sum(nll)
+    if avg_factor is None:
+        avg_factor = jnp.asarray(labels.size, jnp.float32)
+    return loss_weight * total / jnp.maximum(avg_factor, 1.0)
+
+
 def focal_loss_cost(cls_logits: jnp.ndarray,
                     gt_labels: jnp.ndarray,
                     alpha: float = 0.25,

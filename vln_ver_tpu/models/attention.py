@@ -71,7 +71,7 @@ class CamDeformableAttention(nn.Module):
     num_levels: int = 1
     num_points: int = 8
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    deform_impl: str = "onehot"   # 'gather' | 'onehot' | 'pallas'
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, value: jnp.ndarray,
@@ -119,11 +119,15 @@ class CamDeformableAttention(nn.Module):
         locations = (ref + offsets).reshape(
             bsz, nq, self.num_heads, self.num_levels, self.num_points, 2)
 
-        if self.use_pallas:
+        if self.deform_impl == "pallas":
             from ..ops.pallas_deform import ms_deform_attn_2d_pallas
             out = ms_deform_attn_2d_pallas(
                 value.astype(jnp.float32), spatial_shapes, locations,
                 attn)
+        elif self.deform_impl == "onehot":
+            from ..ops.deform_attn import ms_deform_attn_2d_onehot
+            out = ms_deform_attn_2d_onehot(
+                value.astype(jnp.float32), spatial_shapes, locations, attn)
         else:
             out = ms_deform_attn_2d(value.astype(jnp.float32),
                                     spatial_shapes, locations, attn)
@@ -142,7 +146,7 @@ class SpatialCrossAttention(nn.Module):
     num_points: int = 8
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    deform_impl: str = "onehot"
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, value: jnp.ndarray,
@@ -172,7 +176,7 @@ class SpatialCrossAttention(nn.Module):
         attn_out = CamDeformableAttention(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             num_levels=self.num_levels, num_points=self.num_points,
-            dtype=self.dtype, use_pallas=self.use_pallas,
+            dtype=self.dtype, deform_impl=self.deform_impl,
             name="deformable_attention")(q_tiled, v_flat, ref,
                                          spatial_shapes)
         attn_out = attn_out.reshape(bsz, num_cam, nq, self.embed_dims)

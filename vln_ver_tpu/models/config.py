@@ -55,12 +55,25 @@ class VERConfig:
     refine_occ: bool = True
     with_box_refine: bool = True
     occ_loss_type: str = "focal_loss"
+    # temporal self-attention over a 2-slot BEV queue (the reference's
+    # VoxelTemporalSelfAttention path, op order self_attn->norm->cross_attn
+    # ->norm->ffn->norm; inert in the active MP3D config)
+    use_temporal_self_attn: bool = False
+    tsa_num_points: int = 4
+    num_bev_queue: int = 2
     layout_range: Tuple[float, ...] = (-50.0, -50.0, -5.0, 50.0, 50.0, 5.0)
 
     # -- TPU execution --
     # compute dtype for the transformer stack; projections/losses stay fp32
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False      # fused Pallas deformable sampling kernel
+    # deformable sampling implementation for the encoder's SCA:
+    #   'gather' — take_along_axis oracle; 'onehot' — MXU one-hot matmul;
+    #   'pallas' — fused Pallas kernel
+    deform_impl: str = "onehot"
+
+    @property
+    def use_pallas(self) -> bool:
+        return self.deform_impl == "pallas"
 
     @property
     def bev_num(self) -> int:

@@ -32,8 +32,29 @@ class VoxelFormer(nn.Module):
             self.cfg, name="pts_bbox_head")
 
     def __call__(self, features: jnp.ndarray, world2pixel: jnp.ndarray,
-                 origin_shift: jnp.ndarray, deterministic: bool = True,
-                 only_bev: bool = False):
+                 origin_shift: jnp.ndarray, prev_bev=None,
+                 deterministic: bool = True, only_bev: bool = False):
         return self.pts_bbox_head(features, world2pixel, origin_shift,
+                                  prev_bev=prev_bev,
                                   deterministic=deterministic,
                                   only_bev=only_bev)
+
+    def obtain_history_bev(self, features_queue, world2pixel_queue,
+                           origin_shift_queue):
+        """Roll the encoder over a frame queue to produce the history BEV
+        (reference obtain_history_bev, voxelformer.py:209-228): each frame's
+        voxel grid is computed with the previous frame's grid in the TSA
+        queue, under stop_gradient.
+
+        Args: queues shaped (B, T, ...) — returns the final (B, bev_num, C).
+        """
+        import jax
+
+        t_len = features_queue.shape[1]
+        prev = None
+        for t in range(t_len):
+            prev = jax.lax.stop_gradient(self.pts_bbox_head(
+                features_queue[:, t], world2pixel_queue[:, t],
+                origin_shift_queue[:, t], prev_bev=prev,
+                deterministic=True, only_bev=True)["bev_embed"])
+        return prev

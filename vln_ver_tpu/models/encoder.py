@@ -21,6 +21,11 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from typing import Optional
+
+import jax.numpy as _jnp  # noqa: F401
+
+from .. import geometry
 from .attention import SpatialCrossAttention
 from .config import VERConfig
 
@@ -45,19 +50,34 @@ class FFN(nn.Module):
 
 
 class VoxelEncoderLayer(nn.Module):
-    """cross_attn -> norm -> ffn -> norm (VoxelFormerLayer active order)."""
+    """cross_attn -> norm -> ffn -> norm (VoxelFormerLayer active order);
+    with ``use_temporal_self_attn`` a TSA block + norm precedes it
+    (the reference's temporal op order)."""
     cfg: VERConfig
 
     @nn.compact
     def __call__(self, query, value, reference_points_cam, bev_mask,
                  spatial_shapes: Sequence[Tuple[int, int]],
+                 prev_bev=None, ref_2d=None, bev_pos=None,
                  deterministic: bool = True):
         cfg = self.cfg
+        if cfg.use_temporal_self_attn:
+            from .temporal import VoxelTemporalSelfAttention
+            query = VoxelTemporalSelfAttention(
+                embed_dims=cfg.embed_dims, num_heads=cfg.num_heads,
+                num_levels=cfg.num_levels, num_points=cfg.tsa_num_points,
+                num_bev_queue=cfg.num_bev_queue,
+                dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+                name="temporal_self_attn")(
+                    query, prev_bev, ref_2d,
+                    ((cfg.bev_z, cfg.bev_h, cfg.bev_w),),
+                    query_pos=bev_pos, deterministic=deterministic)
+            query = nn.LayerNorm(dtype=cfg.dtype, name="norm0")(query)
         query = SpatialCrossAttention(
             embed_dims=cfg.embed_dims, num_heads=cfg.num_heads,
             num_levels=cfg.num_levels, num_points=cfg.sca_num_points,
             dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
-            use_pallas=cfg.use_pallas, name="cross_attn")(
+            deform_impl=cfg.deform_impl, name="cross_attn")(
                 query, value, reference_points_cam, bev_mask,
                 spatial_shapes, deterministic=deterministic)
         query = nn.LayerNorm(dtype=cfg.dtype, name="norm1")(query)
@@ -75,9 +95,21 @@ class VoxelEncoder(nn.Module):
     @nn.compact
     def __call__(self, bev_query, value, reference_points_cam, bev_mask,
                  spatial_shapes: Sequence[Tuple[int, int]],
+                 prev_bev=None, bev_pos=None,
                  deterministic: bool = True):
-        for i in range(self.cfg.encoder_layers):
-            bev_query = VoxelEncoderLayer(self.cfg, name=f"layer_{i}")(
+        cfg = self.cfg
+        ref_2d = None
+        if cfg.use_temporal_self_attn:
+            # normalised voxel centres as the TSA reference points
+            # (the '2d' branch of get_reference_points,
+            # voxel_encoder.py:85-115)
+            ref_2d = geometry.voxel_reference_points(
+                cfg.bev_z, cfg.bev_h, cfg.bev_w)[None, :, None, :]
+            ref_2d = _jnp.broadcast_to(
+                ref_2d, (bev_query.shape[0],) + ref_2d.shape[1:])
+        for i in range(cfg.encoder_layers):
+            bev_query = VoxelEncoderLayer(cfg, name=f"layer_{i}")(
                 bev_query, value, reference_points_cam, bev_mask,
-                spatial_shapes, deterministic=deterministic)
+                spatial_shapes, prev_bev=prev_bev, ref_2d=ref_2d,
+                bev_pos=bev_pos, deterministic=deterministic)
         return bev_query

@@ -225,9 +225,11 @@ class VoxelFormerOccupancyHead(nn.Module):
 
     # ------------------------------------------------------------------
     def __call__(self, features, world2pixel, origin_shift,
-                 deterministic: bool = True, only_bev: bool = False):
+                 prev_bev=None, deterministic: bool = True,
+                 only_bev: bool = False):
         """features (B, num_cams, feat_h, feat_w, C); world2pixel
-        (B, num_cams, 4, 4); origin_shift (B, 3).
+        (B, num_cams, 4, 4); origin_shift (B, 3); prev_bev optional
+        (B, bev_num, C) voxel grid of the previous frame (TSA queue).
 
         Returns a dict mirroring the reference's ``outs`` (head:615-625).
         """
@@ -236,13 +238,15 @@ class VoxelFormerOccupancyHead(nn.Module):
         voxel_queries = jnp.broadcast_to(
             self.voxel_embedding[None], (b,) + self.voxel_embedding.shape
         ).astype(cfg.dtype)
-        # bev_pos computed for parity/TSA use; inert on the active path
-        # (see encoder.py docstring).
-        _ = self.positional_encoding(b)
+        # positional encoding is the TSA query_pos; inert on the active
+        # (non-temporal) path — see encoder.py docstring.
+        bev_pos = (self.positional_encoding(b)
+                   if cfg.use_temporal_self_attn else None)
 
         if only_bev or cfg.only_occ:
             bev_embed = self.transformer.get_voxel_features(
                 features, voxel_queries, world2pixel, origin_shift,
+                prev_bev=prev_bev, bev_pos=bev_pos,
                 deterministic=deterministic)
             if only_bev:
                 return {"bev_embed": bev_embed}
@@ -259,7 +263,8 @@ class VoxelFormerOccupancyHead(nn.Module):
 
         bev_embed, hs, raw_preds, refs_before = self.transformer(
             features, voxel_queries, self.query_embedding,
-            world2pixel, origin_shift, deterministic=deterministic)
+            world2pixel, origin_shift, prev_bev=prev_bev, bev_pos=bev_pos,
+            deterministic=deterministic)
 
         all_cls_scores = jnp.stack([
             self.cls_branches[l](hs[l]) for l in range(cfg.decoder_layers)

@@ -1,0 +1,111 @@
+"""Voxel temporal self-attention (TSA) — the episodic-memory substrate.
+
+Reference: ``VoxelTemporalSelfAttention``
+(voxel_temporal_self_attention.py:26-273).  The current voxel queries attend
+with 3D deformable sampling into a 2-slot BEV queue (previous / current
+voxel grid); offsets and weights are predicted from the concatenation of the
+previous grid's features and the query (":197"), per-queue-slot weights are
+softmaxed over (levels*points), and the two slots' outputs are averaged
+(":262-263") before the output projection.
+
+Inert in the reference's active MP3D config (prev_bev forced None,
+voxelformer.py:294,336-345) but part of the capability surface — the
+substrate for the paper's episodic memory.  Enabled here via
+``VERConfig.use_temporal_self_attn``.
+
+Note: the reference's ``init_weights`` for this module is broken (2D
+directional grid of size H*(L*queue)*P*2 assigned to a bias of size
+queue*H*L*P*3 — it would throw if ever constructed); we use the 3D
+(cos, sin, cos+sin) directional init of the decoder's 3D attention instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import voxel_deform_attn_3d
+from .attention import _offset_grid_init_3d
+
+
+class VoxelTemporalSelfAttention(nn.Module):
+    embed_dims: int = 768
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 4
+    num_bev_queue: int = 2
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray,
+                 prev_bev: Optional[jnp.ndarray],
+                 reference_points: jnp.ndarray,
+                 spatial_shapes: Sequence[Tuple[int, int, int]],
+                 query_pos: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """query (B, nq, C); prev_bev (B, nq, C) or None (-> use query);
+        reference_points (B, nq, num_levels, 3) normalised voxel centres."""
+        bsz, nq, c = query.shape
+        queue = self.num_bev_queue
+        assert queue == 2
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+        prev = prev_bev if prev_bev is not None else query
+        # (B*queue, nq, C): slot 0 = prev, slot 1 = current
+        value = jnp.stack([prev, query], axis=1).reshape(
+            bsz * queue, nq, c)
+
+        q_cat = jnp.concatenate([prev, query], axis=-1)  # (B, nq, 2C)
+
+        hd = self.embed_dims // self.num_heads
+        v = nn.Dense(self.embed_dims, name="value_proj",
+                     dtype=self.dtype)(value)
+        v = v.reshape(bsz * queue, nq, self.num_heads, hd)
+
+        n_off = queue * self.num_heads * self.num_levels * self.num_points
+        offsets = nn.Dense(
+            n_off * 3,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *a: jnp.tile(
+                _offset_grid_init_3d(self.num_heads, self.num_levels,
+                                     self.num_points), queue),
+            name="sampling_offsets", dtype=jnp.float32)(q_cat)
+        offsets = offsets.reshape(bsz, nq, self.num_heads, queue,
+                                  self.num_levels, self.num_points, 3)
+        attn = nn.Dense(n_off, kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros,
+                        name="attention_weights", dtype=jnp.float32)(q_cat)
+        attn = attn.reshape(bsz, nq, self.num_heads, queue,
+                            self.num_levels * self.num_points)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = attn.reshape(bsz, nq, self.num_heads, queue,
+                            self.num_levels, self.num_points)
+
+        # fold queue into batch (":219-222")
+        attn = attn.transpose(0, 3, 1, 2, 4, 5).reshape(
+            bsz * queue, nq, self.num_heads, self.num_levels,
+            self.num_points)
+        offsets = offsets.transpose(0, 3, 1, 2, 4, 5, 6).reshape(
+            bsz * queue, nq, self.num_heads, self.num_levels,
+            self.num_points, 3)
+
+        normalizer = jnp.asarray(
+            [[w, h, d] for (d, h, w) in spatial_shapes], jnp.float32)
+        ref = jnp.concatenate([reference_points, reference_points],
+                              axis=0)  # (B*queue, nq, L, 3)
+        locations = (ref[:, :, None, :, None, :]
+                     + offsets / normalizer[None, None, None, :, None, :])
+
+        out = voxel_deform_attn_3d(v.astype(jnp.float32), spatial_shapes,
+                                   locations, attn)
+        # average prev/current slots (":262-263")
+        out = out.reshape(bsz, queue, nq, self.embed_dims).mean(axis=1)
+        out = nn.Dense(self.embed_dims, name="output_proj",
+                       dtype=self.dtype)(out.astype(self.dtype))
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return out + identity

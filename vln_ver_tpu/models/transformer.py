@@ -63,7 +63,8 @@ class VoxelTransformer(nn.Module):
             ]
 
     def get_voxel_features(self, features, bev_queries, world2pixel,
-                           origin_shift, deterministic: bool = True):
+                           origin_shift, prev_bev=None, bev_pos=None,
+                           deterministic: bool = True):
         """Lift multi-view features into the voxel grid.
 
         Args:
@@ -95,10 +96,12 @@ class VoxelTransformer(nn.Module):
 
         spatial_shapes = ((fh, fw),)
         return self.encoder(bev_queries, value, cam_xy, mask,
-                            spatial_shapes, deterministic=deterministic)
+                            spatial_shapes, prev_bev=prev_bev,
+                            bev_pos=bev_pos, deterministic=deterministic)
 
     def __call__(self, features, bev_queries, object_query_embed,
-                 world2pixel, origin_shift, deterministic: bool = True):
+                 world2pixel, origin_shift, prev_bev=None, bev_pos=None,
+                 deterministic: bool = True):
         """Full encoder+decoder pass.
 
         Returns (voxel_embed (B, bev_num, C),
@@ -111,6 +114,7 @@ class VoxelTransformer(nn.Module):
         cfg = self.cfg
         voxel_embed = self.get_voxel_features(
             features, bev_queries, world2pixel, origin_shift,
+            prev_bev=prev_bev, bev_pos=bev_pos,
             deterministic=deterministic)
 
         b = features.shape[0]

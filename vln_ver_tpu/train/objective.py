@@ -140,11 +140,21 @@ def compute_losses(cfg: VERConfig, outs: Dict, batch: Dict,
     if not cfg.only_det and outs.get("occupancy_preds") is not None:
         occ_preds = outs["occupancy_preds"]  # (B, n_vox, C_occ)
         gt_occ = batch["occ_dense"].reshape(-1)
-        occ_logits = occ_preds.reshape(-1, cfg.occupancy_classes)
         num_occupied = jnp.sum(
             (gt_occ < cfg.occupancy_classes).astype(jnp.float32))
-        loss_dict["loss_occupancy"] = jnp.nan_to_num(L.sigmoid_focal_loss(
-            occ_logits, gt_occ, avg_factor=num_occupied, loss_weight=1.0))
+        if cfg.occ_loss_type == "ce_loss":
+            # softmax CE with the last channel as empty; labels already use
+            # occupancy_classes for empty == last channel index
+            occ_logits = occ_preds.reshape(-1, occ_preds.shape[-1])
+            loss_occ = L.softmax_ce_loss(
+                occ_logits, jnp.minimum(gt_occ, occ_logits.shape[-1] - 1),
+                avg_factor=num_occupied, loss_weight=1.0)
+        else:
+            occ_logits = occ_preds.reshape(-1, cfg.occupancy_classes)
+            loss_occ = L.sigmoid_focal_loss(
+                occ_logits, gt_occ, avg_factor=num_occupied,
+                loss_weight=1.0)
+        loss_dict["loss_occupancy"] = jnp.nan_to_num(loss_occ)
         loss_dict["loss_flow"] = jnp.zeros(())
 
     return loss_dict
