@@ -1,0 +1,28 @@
+import os
+
+from vln_ver_tpu.config import build_ver_config, load_config
+from vln_ver_tpu.config.api import apply_cfg_options
+
+CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "verformer")
+
+
+def test_cfg_options_override():
+    cfg = load_config(os.path.join(CONFIGS, "vocc.py"))
+    cfg = apply_cfg_options(cfg, [
+        "model.pts_bbox_head.num_query=64",
+        "optimizer.lr=0.0005",
+        "total_epochs=7",
+        "model.pts_bbox_head.only_det=True",
+    ])
+    assert cfg["model"]["pts_bbox_head"]["num_query"] == 64
+    assert cfg["optimizer"]["lr"] == 0.0005
+    assert cfg["total_epochs"] == 7
+    ver = build_ver_config(cfg)
+    assert ver.num_query == 64 and ver.only_det is True
+
+
+def test_cfg_options_string_value():
+    cfg = load_config(os.path.join(CONFIGS, "vocc.py"))
+    cfg = apply_cfg_options(cfg, ["savename=out/x.hdf5"])
+    assert cfg["savename"] == "out/x.hdf5"

@@ -1,0 +1,46 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_train_step import TINY, _init
+from vln_ver_tpu.train import make_train_step
+from vln_ver_tpu.utils.checkpoint import (latest_step, restore_state,
+                                          save_state)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    _, state, batch, tc = _init()
+    step = make_train_step(TINY, tc, donate=False)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+
+    ckpt = str(tmp_path / "ckpt")
+    save_state(ckpt, int(state.step), state)
+    assert latest_step(ckpt) == 1
+
+    _, fresh, _, _ = _init()
+    restored = restore_state(ckpt, 1, fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues from the restored state
+    restored, metrics = step(restored, batch, jax.random.PRNGKey(1))
+    assert int(restored.step) == 2
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_bf16_train_step_finite():
+    cfg = dataclasses.replace(TINY, dtype=jnp.bfloat16)
+    _, state, batch, tc = _init(cfg)
+    step = make_train_step(cfg, tc, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # params remain fp32 master copies
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(state.params))

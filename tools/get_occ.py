@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("config")
+    p.add_argument("--cfg-options", nargs="+", default=None,
+                   help="dotted config overrides: key.subkey=value")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--limit", type=int, default=None)
@@ -50,6 +52,8 @@ def main():
     from vln_ver_tpu.utils.checkpoint import latest_step, restore_state
 
     cfg = load_config(args.config)
+    from vln_ver_tpu.config.api import apply_cfg_options
+    cfg = apply_cfg_options(cfg, args.cfg_options)
     ver = build_ver_config(cfg)
     savename = args.out or cfg.get("savename") or cfg.get(
         "model", {}).get("pts_bbox_head", {}).get("getbev")

@@ -17,14 +17,14 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("config")
+    p.add_argument("--cfg-options", nargs="+", default=None,
+                   help="dotted config overrides: key.subkey=value")
     p.add_argument("--checkpoint", default=None,
                    help="ckpt dir (latest step restored); random init if "
                         "omitted")
@@ -41,21 +41,17 @@ def main():
     from vln_ver_tpu.utils.platform import apply_platform_env
     apply_platform_env()
     import jax
-    import jax.numpy as jnp
 
-    from vln_ver_tpu.coders import boxes_to_bottom_origin, decode_boxes
     from vln_ver_tpu.config import build_ver_config, load_config
     from vln_ver_tpu.config.api import dataset_kwargs
     from vln_ver_tpu.data import MP3DDataset, make_synthetic_dataset
-    from vln_ver_tpu.data.mp3d import iterate_batches
-    from vln_ver_tpu.evaluation import SSCMetrics
-    from vln_ver_tpu.evaluation.indoor_eval import indoor_eval
     from vln_ver_tpu.models import VoxelFormer
-    from vln_ver_tpu.occupancy import decode_occupancy_focal
     from vln_ver_tpu.train import TrainConfig, create_train_state
     from vln_ver_tpu.utils.checkpoint import latest_step, restore_state
 
     cfg = load_config(args.config)
+    from vln_ver_tpu.config.api import apply_cfg_options
+    cfg = apply_cfg_options(cfg, args.cfg_options)
     ver = build_ver_config(cfg)
 
     ds_kw = dataset_kwargs(cfg, "test") or dataset_kwargs(cfg, "val")
@@ -89,62 +85,18 @@ def main():
         params = state.params
         print(f"restored step {step}")
 
-    @jax.jit
-    def forward(params, feats, w2p, shift):
-        outs = model.apply(params, feats, w2p, shift, deterministic=True)
-        dec = jax.vmap(lambda c, b: decode_boxes(
-            c, b, max_num=50, num_classes=ver.num_classes))(
-                outs["all_cls_scores"][-1], outs["all_bbox_preds"][-1])
-        return outs["occupancy_preds"], dec
-
-    n = min(len(dataset), args.limit or len(dataset))
-    all_occ_logits = []
-    pred_annos, gt_annos = [], []
-    occ_gts = []
-    for batch in iterate_batches(dataset, args.batch_size,
-                                 indices=range(n), drop_last=False):
-        occ_logits, dec = forward(params, batch["features"],
-                                  batch["world2pixel"],
-                                  batch["origin_shift"])
-        occ_np = np.asarray(occ_logits)
-        for i in range(occ_np.shape[0]):
-            all_occ_logits.append(occ_np[i])
-            occ_gts.append(np.asarray(batch["occ_dense"][i]))
-            boxes = np.asarray(boxes_to_bottom_origin(
-                jnp.asarray(dec.bboxes[i])))
-            valid = np.asarray(dec.valid[i])
-            # gravity-frame GT for AP (bottom-origin converted back)
-            gtb = np.asarray(batch["gt_boxes"][i])
-            gtv = np.asarray(batch["gt_valid"][i])
-            gt_annos.append({"boxes": gtb[gtv][:, :7],
-                             "labels": np.asarray(
-                                 batch["gt_labels"][i])[gtv]})
-            gb = boxes.copy()
-            gb[:, 2] += gb[:, 5] * 0.5  # back to gravity for IoU
-            pred_annos.append({
-                "boxes": gb[valid][:, :7],
-                "labels": np.asarray(dec.labels[i])[valid],
-                "scores": np.asarray(dec.scores[i])[valid],
-            })
-
-    # detection metrics
-    det = indoor_eval(gt_annos, pred_annos,
-                      classes=tuple(ds_kw.get("classes", ())))
-    for k in sorted(det):
-        if k.startswith("mA"):
-            print(f"{k}: {det[k]:.4f}")
-
-    # occupancy metrics per threshold
-    for thr in args.occ_thresholds:
-        m = SSCMetrics(ver.occupancy_classes + 1)
-        for logits, gt in zip(all_occ_logits, occ_gts):
-            pred = np.asarray(decode_occupancy_focal(
-                jnp.asarray(logits), thr))
-            m.add_batch(pred, gt)
-        stats = m.get_stats()
-        print(f"== occ threshold {thr}")
-        print(f"miou: {stats['miou']:.2f}  iou: {stats['iou']:.2f}  "
-              f"P: {stats['precision']:.4f}  R: {stats['recall']:.4f}")
+    from vln_ver_tpu.evaluation.runner import evaluate_model
+    metrics = evaluate_model(model, params, dataset,
+                             occ_thresholds=tuple(args.occ_thresholds),
+                             limit=args.limit,
+                             batch_size=args.batch_size,
+                             classes=tuple(ds_kw.get("classes", ())))
+    for k in sorted(metrics):
+        if k.startswith(("mAP", "mAR")):
+            print(f"{k}: {metrics[k]:.4f}")
+    for k in sorted(metrics):
+        if k.startswith(("miou", "iou", "occ_")):
+            print(f"{k}: {metrics[k]:.4f}")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("config")
+    p.add_argument("--cfg-options", nargs="+", default=None,
+                   help="dotted config overrides: key.subkey=value")
     p.add_argument("--work-dir", default="work_dirs/default")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic dataset if ann files missing")
@@ -34,6 +36,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--ckpt-interval", type=int, default=1000)
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="run val-split eval every N steps (0 = off)")
+    p.add_argument("--eval-limit", type=int, default=32)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=str, default=None,
@@ -61,6 +66,8 @@ def main():
                                               save_state)
 
     cfg = load_config(args.config)
+    from vln_ver_tpu.config.api import apply_cfg_options
+    cfg = apply_cfg_options(cfg, args.cfg_options)
     ver = build_ver_config(cfg)
     os.makedirs(args.work_dir, exist_ok=True)
 
@@ -151,6 +158,29 @@ def main():
                           f"({m['sec_per_step']:.2f}s/step)")
                 if step % args.ckpt_interval == 0 or step == total_steps:
                     save_state(ckpt_dir, step, state)
+                if args.eval_interval and (step % args.eval_interval == 0
+                                           or step == total_steps):
+                    from vln_ver_tpu.evaluation.runner import evaluate_model
+                    val_kw = dataset_kwargs(cfg, "val") or dataset_kwargs(
+                        cfg, "test")
+                    if val_kw and os.path.exists(val_kw["ann_file"]):
+                        val_ds = MP3DDataset(
+                            val_kw["ann_file"], val_kw["data_root"],
+                            voxel_num=ver.voxel_num,
+                            occupancy_classes=ver.occupancy_classes,
+                            num_cams=ver.num_cams, feat_hw=ver.feat_h)
+                        em = evaluate_model(
+                            model, jax.device_get(state.params), val_ds,
+                            limit=args.eval_limit,
+                            classes=val_kw.get("classes", ()))
+                        em["step"] = step
+                        keep = {k: round(float(v), 4)
+                                for k, v in em.items()
+                                if k.startswith(("mAP", "mAR", "miou",
+                                                 "iou", "occ_", "step"))}
+                        print("eval:", keep)
+                        logf.write(json.dumps(keep) + "\n")
+                        logf.flush()
     print("done")
 
 

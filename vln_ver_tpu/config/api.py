@@ -72,6 +72,29 @@ def load_config(path: str) -> Config:
     return Config(merged)
 
 
+def apply_cfg_options(cfg: Config, options) -> Config:
+    """Apply dotted-key CLI overrides, mmcv ``--cfg-options`` style
+    (reference tools/train.py:67-76): ``a.b.c=value`` with literal-eval'd
+    values."""
+    import ast
+    for opt in options or []:
+        key, _, raw = opt.partition("=")
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = raw
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            nxt = node.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[p] = nxt
+            node = nxt
+        node[parts[-1]] = val
+    return cfg
+
+
 def _get(d: Dict, *keys, default=None):
     for k in keys:
         if not isinstance(d, dict) or k not in d:

@@ -168,9 +168,14 @@ class SpatialCrossAttention(nn.Module):
             bsz * num_cam, nq, self.embed_dims)
         v_flat = value.reshape(bsz * num_cam, value.shape[2],
                                self.embed_dims)
-        # Zero out reference coords of invisible (query, anchor) pairs so the
-        # dense sampling stays tame; their output is masked away below.
-        ref = jnp.where(bev_mask[..., None], reference_points_cam, 0.0)
+        # Zero the reference coords only for queries invisible in ALL
+        # anchors of a camera (their output is masked away below anyway).
+        # Partially visible queries keep their true per-anchor coords: the
+        # reference samples those as-is (rebatch gathers the whole query if
+        # ANY anchor is visible, spatial_cross_attention.py:139-154), and
+        # out-of-image anchors fall to grid_sample zero padding naturally.
+        any_vis = jnp.any(bev_mask, axis=-1, keepdims=True)
+        ref = jnp.where(any_vis[..., None], reference_points_cam, 0.0)
         ref = ref.reshape(bsz * num_cam, nq, -1, 2)
 
         attn_out = CamDeformableAttention(
