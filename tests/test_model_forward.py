@@ -122,3 +122,17 @@ def test_forward_full_size_jits():
     n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
     # reference scale is O(100M) params
     assert 50e6 < n_params < 500e6
+
+
+def test_forward_decoder_on_bev_variants():
+    import dataclasses
+    for v2b in ("mlp", "pool"):
+        cfg = dataclasses.replace(TINY, decoder_on_bev=True,
+                                  voxel_2_bev_type=v2b)
+        model = VoxelFormer(cfg)
+        batch = _tiny_batch(cfg=cfg)
+        params = model.init(jax.random.PRNGKey(0), *batch)
+        outs = model.apply(params, *batch)
+        assert outs["all_bbox_preds"].shape == (
+            cfg.decoder_layers, 1, cfg.num_query, cfg.code_size)
+        assert np.isfinite(np.asarray(outs["all_cls_scores"])).all()

@@ -132,9 +132,14 @@ def main():
     logf = open(log_path, "a")
     t0 = time.perf_counter()
     step = start_step
-    order = np.random.default_rng(args.seed).permutation(len(dataset))
+    epoch = 0
     with mesh:
         while step < total_steps:
+            # deterministic per-epoch shuffle (the reference's
+            # DistributedGroupSampler semantics, group_sampler.py:14-110)
+            order = np.random.default_rng(
+                args.seed + epoch).permutation(len(dataset))
+            epoch += 1
             for batch in iterate_batches(dataset, batch_size,
                                          indices=order, drop_last=True):
                 if step >= total_steps:

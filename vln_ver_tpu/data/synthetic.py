@@ -44,12 +44,18 @@ def _rasterise_scene(rng: np.random.Generator,
     flat = lambda m: m.reshape(-1)
 
     room_half = rng.uniform(3.0, 5.5)
-    floor_z = lo[2] + 0.15
-    ceil_z = hi[2] - 0.15
+    # floor/ceiling bands at least one voxel layer thick so coarse test
+    # grids still rasterise structure
+    z_vox = (hi[2] - lo[2]) / zd
+    floor_z = lo[2] + max(0.15, 1.01 * z_vox)
+    ceil_z = hi[2] - max(0.15, 1.01 * z_vox)
+    xy_vox = max((hi[0] - lo[0]) / xd, (hi[1] - lo[1]) / yd)
+    wall_band = max(0.2, 1.01 * xy_vox)
     inside = (np.abs(cx) < room_half) & (np.abs(cy) < room_half)
     dense[flat(inside & (cz < floor_z))] = FLOOR
     dense[flat(inside & (cz > ceil_z))] = CEILING
-    wall = inside & (np.maximum(np.abs(cx), np.abs(cy)) > room_half - 0.2)
+    wall = inside & (np.maximum(np.abs(cx), np.abs(cy))
+                     > room_half - wall_band)
     dense[flat(wall & (cz >= floor_z) & (cz <= ceil_z))] = WALL
 
     boxes = []

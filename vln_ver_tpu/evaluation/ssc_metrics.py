@@ -13,10 +13,34 @@ import numpy as np
 
 
 class SSCMetrics:
-    def __init__(self, n_classes: int = 17):
-        """``n_classes`` INCLUDES the empty class (17 = 16 + empty)."""
+    def __init__(self, n_classes: int = 17,
+                 eval_far: bool = False, eval_near: bool = False,
+                 near_distance: float = 10.0, far_distance: float = 30.0,
+                 pc_range=(-6.0, -6.0, -1.5, 6.0, 6.0, 2.0),
+                 occ_dims=(35, 120, 120)):
+        """``n_classes`` INCLUDES the empty class (17 = 16 + empty).
+
+        ``eval_far``/``eval_near`` restrict accumulation to voxels beyond /
+        within a BEV distance of the origin (reference
+        occupancy_metrics.py:92-105)."""
         self.n_classes = n_classes
         self.hist = np.zeros((n_classes, n_classes), dtype=np.float64)
+        self.distance_mask = None
+        if eval_far or eval_near:
+            zd, yd, xd = occ_dims
+            lo = np.asarray(pc_range[:3])
+            hi = np.asarray(pc_range[3:])
+            z, y, x = np.meshgrid(np.arange(zd), np.arange(yd),
+                                  np.arange(xd), indexing="ij")
+            px = (x.reshape(-1) + 0.5) / xd * (hi[0] - lo[0]) + lo[0]
+            py = (y.reshape(-1) + 0.5) / yd * (hi[1] - lo[1]) + lo[1]
+            dist = np.hypot(px, py)
+            mask = np.ones(dist.shape, bool)
+            if eval_far:
+                mask &= dist > far_distance
+            if eval_near:
+                mask &= dist < near_distance
+            self.distance_mask = mask
 
     def add_batch(self, y_pred: np.ndarray, y_true: np.ndarray,
                   visible_mask: np.ndarray | None = None) -> None:
@@ -26,6 +50,9 @@ class SSCMetrics:
             visible_mask = np.asarray(visible_mask).reshape(-1)
             y_pred = y_pred[visible_mask == 1]
             y_true = y_true[visible_mask == 1]
+        elif self.distance_mask is not None:
+            y_pred = y_pred[self.distance_mask]
+            y_true = y_true[self.distance_mask]
         from .. import native
         self.hist += native.confusion_hist(
             y_pred.astype(np.int32), y_true.astype(np.int32),

@@ -126,8 +126,10 @@ class CamDeformableAttention(nn.Module):
                 attn)
         elif self.deform_impl == "onehot":
             from ..ops.deform_attn import ms_deform_attn_2d_onehot
+            # bf16-capable MXU path: values/interp matrices in compute
+            # dtype, fp32 accumulation inside
             out = ms_deform_attn_2d_onehot(
-                value.astype(jnp.float32), spatial_shapes, locations, attn)
+                value.astype(self.dtype), spatial_shapes, locations, attn)
         else:
             out = ms_deform_attn_2d(value.astype(jnp.float32),
                                     spatial_shapes, locations, attn)

@@ -61,6 +61,10 @@ class VERConfig:
     use_temporal_self_attn: bool = False
     tsa_num_points: int = 4
     num_bev_queue: int = 2
+    # collapse the voxel grid to BEV before the decoder
+    # (voxel_transformer.py:263-285; off in the active config)
+    decoder_on_bev: bool = False
+    voxel_2_bev_type: str = "mlp"   # 'mlp' | 'pool'
     layout_range: Tuple[float, ...] = (-50.0, -50.0, -5.0, 50.0, 50.0, 5.0)
 
     # -- TPU execution --

@@ -56,6 +56,18 @@ class VoxelTransformer(nn.Module):
             self.decoder = VoxelDetectionDecoder(cfg, name="decoder")
             self.reference_points_fc = nn.Dense(
                 3, dtype=jnp.float32, name="reference_points")
+            if cfg.decoder_on_bev and cfg.voxel_2_bev_type == "mlp":
+                # voxel->BEV MLP over z-concatenated features
+                # (voxel_transformer.py:86-96)
+                mid = cfg.embed_dims * cfg.bev_z
+                self.voxel2bev = nn.Sequential([
+                    nn.Dense(mid, dtype=cfg.dtype),
+                    nn.LayerNorm(dtype=cfg.dtype),
+                    nn.relu,
+                    nn.Dense(cfg.embed_dims, dtype=cfg.dtype),
+                    nn.LayerNorm(dtype=cfg.dtype),
+                    nn.relu,
+                ], name="voxel2bev")
             self.reg_branches = [
                 RegBranch(cfg.embed_dims, cfg.code_size, cfg.num_reg_fcs,
                           dtype=cfg.dtype, name=f"reg_branch_{i}")
@@ -127,8 +139,24 @@ class VoxelTransformer(nn.Module):
             self.reference_points_fc(query_pos.astype(jnp.float32)))
 
         reg_fns = list(self.reg_branches)
-        spatial_shapes = ((cfg.bev_z, cfg.bev_h, cfg.bev_w),)
+        if cfg.decoder_on_bev:
+            # collapse z: the decoder attends a (1, H, W) grid
+            # (voxel_transformer.py:263-285)
+            vol = voxel_embed.reshape(b, cfg.bev_z, cfg.bev_h, cfg.bev_w,
+                                      cfg.embed_dims)
+            if cfg.voxel_2_bev_type == "mlp":
+                flat = vol.transpose(0, 2, 3, 1, 4).reshape(
+                    b, cfg.bev_h, cfg.bev_w, cfg.bev_z * cfg.embed_dims)
+                bev = self.voxel2bev(flat)
+            else:  # 'pool': max over z
+                bev = jnp.max(vol, axis=1)
+            dec_value = bev.reshape(b, cfg.bev_h * cfg.bev_w,
+                                    cfg.embed_dims)
+            spatial_shapes = ((1, cfg.bev_h, cfg.bev_w),)
+        else:
+            dec_value = voxel_embed
+            spatial_shapes = ((cfg.bev_z, cfg.bev_h, cfg.bev_w),)
         inter_states, refs_before, raw_preds = self.decoder(
-            query, voxel_embed, query_pos, init_ref, reg_fns,
+            query, dec_value, query_pos, init_ref, reg_fns,
             spatial_shapes, deterministic=deterministic)
         return voxel_embed, inter_states, raw_preds, refs_before

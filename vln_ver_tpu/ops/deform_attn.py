@@ -67,11 +67,16 @@ def ms_deform_attn_2d_onehot(value: jnp.ndarray,
         Y = ((iy == y0[..., None]) * (1 - ay)
              + (iy == y0[..., None] + 1) * ay)               # (bs,nq,H,P,h)
         wgt = attention_weights[:, :, :, lvl]                # (bs,nq,H,P)
-        # A[b,H,q,y,x] = sum_p w * Y * X  -> then contract (y,x) with V
-        A = jnp.einsum("bqhp,bqhpy,bqhpx->bhqyx", wgt, Y, X)
+        # A[b,H,q,y,x] = sum_p w * Y * X  -> then contract (y,x) with V.
+        # Interpolation matrices follow the value dtype (bf16 halves the
+        # dominant A-matrix bandwidth; coefficient rounding ~0.4% == a
+        # few-millipixel sampling perturbation); accumulation stays fp32.
+        cdt = value.dtype
+        A = jnp.einsum("bqhp,bqhpy,bqhpx->bhqyx", wgt.astype(cdt),
+                       Y.astype(cdt), X.astype(cdt),
+                       preferred_element_type=jnp.float32).astype(cdt)
         A = A.reshape(bs, num_heads, num_query, h * w)
-        out = out + jnp.einsum("bhqs,bhsd->bhqd", A,
-                               vl.astype(A.dtype),
+        out = out + jnp.einsum("bhqs,bhsd->bhqd", A, vl.astype(cdt),
                                preferred_element_type=jnp.float32
                                ).astype(value.dtype)
     return out.transpose(0, 2, 1, 3).reshape(bs, num_query,

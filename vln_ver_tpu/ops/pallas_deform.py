@@ -46,8 +46,9 @@ def _kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, num_heads,
     out_ref:   (1, nq, heads*head_dim)
     """
     hw = H * W
-    s = jax.lax.broadcasted_iota(jnp.float32, (1, hw), 1)
-    sy = jnp.floor(s / W)          # flat-index row coordinate
+    # int iota (fp iota is unsupported by the Mosaic TPU compiler)
+    s = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
+    sy = s // W                    # flat-index row coordinate
     sx = s - sy * W                # flat-index col coordinate
 
     for h in range(num_heads):
@@ -60,8 +61,10 @@ def _kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, num_heads,
             y0 = jnp.floor(py)
             ax = px - x0
             ay = py - y0
-            xs = ((sx == x0) * (1.0 - ax) + (sx == x0 + 1.0) * ax)
-            ys = ((sy == y0) * (1.0 - ay) + (sy == y0 + 1.0) * ay)
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            xs = ((sx == x0i) * (1.0 - ax) + (sx == x0i + 1) * ax)
+            ys = ((sy == y0i) * (1.0 - ay) + (sy == y0i + 1) * ay)
             wgt = w_ref[0, :, h * num_points + p:h * num_points + p + 1]
             contrib = wgt * xs * ys
             acc = contrib if acc is None else acc + contrib
