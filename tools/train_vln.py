@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--eval-interval", type=int, default=100)
     p.add_argument("--eval-limit", type=int, default=8)
+    p.add_argument("--sample-prob", type=float, default=0.5,
+                   help="fraction of rollouts with sampled (student) "
+                        "actions, DAgger-style; teacher labels either way")
     p.add_argument("--work-dir", default="work_dirs/vln")
     p.add_argument("--embed-dims", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -110,10 +113,14 @@ def main():
     t0 = time.perf_counter()
     step = 0
     losses = []
+    roll_rng = jax.random.PRNGKey(args.seed + 7)
     while step < args.steps:
         ep_idx = int(rng.integers(len(episodes)))
+        sample = bool(rng.uniform() < args.sample_prob)
+        roll_rng, sub = jax.random.split(roll_rng)
         _, trace = run_episode(policy, params, env, ep_idx, cfg,
-                               greedy=True, collect_teacher=True)
+                               greedy=not sample, rng=sub,
+                               collect_teacher=True)
         for rec in trace:
             obs = rec["obs"]
             batch = dict(

@@ -57,10 +57,15 @@ class Vocab:
 
 
 def load_r2r_split(data_dir: str, split: str, vocab: Optional[Vocab],
-                   max_text_len: int = 80
+                   max_text_len: int = 80, prefix: str = "R2R"
                    ) -> Tuple[List[Dict], Optional[Vocab]]:
-    """Returns (episodes, vocab); one episode per (item, instruction)."""
-    path = os.path.join(data_dir, f"R2R_{split}.json")
+    """Returns (episodes, vocab); one episode per (item, instruction).
+
+    ``prefix`` selects the benchmark file family: R2R, R4R (same schema,
+    concatenated paths), or REVERIE (same navigation schema; the object-
+    grounding target is carried through in ``objId`` when present).
+    """
+    path = os.path.join(data_dir, f"{prefix}_{split}.json")
     with open(path) as f:
         items = json.load(f)
     if vocab is None:
@@ -69,11 +74,14 @@ def load_r2r_split(data_dir: str, split: str, vocab: Optional[Vocab],
     episodes = []
     for it in items:
         for ins in it["instructions"]:
-            episodes.append(dict(
+            ep = dict(
                 scan=it["scan"], path=it["path"],
                 heading=it.get("heading", 0.0),
                 instructions=[ins],
-                instruction_tokens=vocab.encode(ins, max_text_len)))
+                instruction_tokens=vocab.encode(ins, max_text_len))
+            if "objId" in it:   # REVERIE grounding target
+                ep["objId"] = it["objId"]
+            episodes.append(ep)
     return episodes, vocab
 
 

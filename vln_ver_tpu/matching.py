@@ -59,7 +59,7 @@ def hungarian_auction(cost: jnp.ndarray, num_iters: int = 500,
     eps = spread * eps_scale / (ng + 1)
 
     def body(state):
-        _, prices, owner_of_row, row_of_col = state
+        it, _, prices, owner_of_row, row_of_col = state
         unassigned = row_of_col < 0                       # (ng,)
         net = value - prices[None, :]                     # (ng, nq)
         best = jnp.argmax(net, axis=1)                    # (ng,)
@@ -90,19 +90,18 @@ def hungarian_auction(cost: jnp.ndarray, num_iters: int = 500,
                 jnp.where(got_bid, rows_idx, -1), mode="drop")
         del win_rows
         n_unassigned = jnp.sum(row_of_col < 0)
-        return n_unassigned, prices, owner_of_row, row_of_col
+        return it + 1, n_unassigned, prices, owner_of_row, row_of_col
 
     def cond(state):
-        return state[0] > 0
+        # true early exit (typical convergence is tens of iterations; the
+        # cap is a safety net) — integer outputs, nothing differentiates
+        # through this loop
+        return (state[1] > 0) & (state[0] < num_iters)
 
-    init = (jnp.asarray(ng), jnp.zeros(nq), jnp.full(nq, -1, jnp.int32),
-            jnp.full(ng, -1, jnp.int32))
-
-    def capped_body(i, state):
-        return jax.lax.cond(cond(state), body, lambda s: s, state)
-
-    state = jax.lax.fori_loop(0, num_iters, capped_body, init)
-    return state[3]
+    init = (jnp.asarray(0), jnp.asarray(ng), jnp.zeros(nq),
+            jnp.full(nq, -1, jnp.int32), jnp.full(ng, -1, jnp.int32))
+    state = jax.lax.while_loop(cond, body, init)
+    return state[4]
 
 
 def build_detr_targets(matched_rows: jnp.ndarray,

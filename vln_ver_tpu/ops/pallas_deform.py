@@ -74,6 +74,9 @@ def _kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, num_heads,
             preferred_element_type=jnp.float32)
 
 
+_TQ = 256  # query-tile size: keeps per-program VMEM well under the limit
+
+
 def _pallas_forward(value, spatial_shapes, sampling_locations,
                     attention_weights):
     (H, W), = spatial_shapes
@@ -87,31 +90,39 @@ def _pallas_forward(value, spatial_shapes, sampling_locations,
         bs, nq, num_heads * num_points).astype(jnp.float32)
     val = value.reshape(bs, hw, num_heads * head_dim)
 
+    # pad queries to a multiple of the tile
+    nq_pad = -(-nq // _TQ) * _TQ
+    if nq_pad != nq:
+        pad = ((0, 0), (0, nq_pad - nq), (0, 0))
+        loc = jnp.pad(loc, pad)
+        wgt = jnp.pad(wgt, pad)
+
     kernel = functools.partial(_kernel, H=H, W=W, num_heads=num_heads,
                                num_points=num_points, head_dim=head_dim)
     out = pl.pallas_call(
         kernel,
-        grid=(bs,),
+        grid=(bs, nq_pad // _TQ),
         in_specs=[
-            pl.BlockSpec((1, nq, loc.shape[-1]), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, _TQ, loc.shape[-1]), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, wgt.shape[-1]), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, _TQ, wgt.shape[-1]), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hw, val.shape[-1]), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, hw, val.shape[-1]), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nq, val.shape[-1]), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, _TQ, val.shape[-1]),
+                               lambda b, q: (b, q, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bs, nq, num_heads * head_dim),
+        out_shape=jax.ShapeDtypeStruct((bs, nq_pad, num_heads * head_dim),
                                        jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bs * num_heads * nq * hw * head_dim
-            + 8 * bs * num_heads * num_points * nq * hw,
+            flops=2 * bs * num_heads * nq_pad * hw * head_dim
+            + 8 * bs * num_heads * num_points * nq_pad * hw,
             bytes_accessed=(loc.size + wgt.size + val.size) * 4
-            + bs * nq * num_heads * head_dim * 4,
+            + bs * nq_pad * num_heads * head_dim * 4,
             transcendentals=0),
     )(loc, wgt, val)
-    return out.astype(value.dtype)
+    return out[:, :nq].astype(value.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

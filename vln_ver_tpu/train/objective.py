@@ -52,6 +52,10 @@ def _match_layer(cls_scores, bbox_preds, gt_norm, gt_labels, gt_valid,
     cost = jnp.where(gt_valid[None, :], cost, BIG_COST)
     cost = jnp.nan_to_num(cost, nan=BIG_COST, posinf=BIG_COST,
                           neginf=-BIG_COST)
+    # the reference detaches the cost before matching
+    # (hungarian_assigner_3d.py:125); also keeps reverse-mode out of the
+    # matcher's while_loop
+    cost = jax.lax.stop_gradient(cost)
     if use_host:
         return hungarian_host(cost)
     return hungarian_auction(cost)
