@@ -44,7 +44,7 @@ def main():
     # 36-view panorama variant (north-star workload); bf16 compute.
     cfg = VERConfig(num_cams=36, dtype=jnp.bfloat16)
     # defaults match the programs in the persistent compile cache
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     warmup = 3
 

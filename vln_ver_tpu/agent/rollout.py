@@ -24,6 +24,19 @@ def _to_batch(obs: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v)[None] for k, v in obs.items()}
 
 
+_STEP_CACHE: Dict[int, object] = {}
+
+
+def policy_step_fn(policy: VLNPolicy):
+    """Jitted policy step, cached per policy instance (a fresh jit per
+    episode would retrace every call)."""
+    key = id(policy)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = jax.jit(
+            lambda p, *a, **k: policy.apply(p, *a, **k))
+    return _STEP_CACHE[key]
+
+
 def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
                 cfg: PolicyConfig, greedy: bool = True,
                 rng=None, collect_teacher: bool = False):
@@ -34,7 +47,7 @@ def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
     text_feats = None
     trace: List[Dict] = []
 
-    step_fn = jax.jit(lambda p, *a, **k: policy.apply(p, *a, **k))
+    step_fn = policy_step_fn(policy)
 
     while not state["done"]:
         obs = env.observe(state)

@@ -12,11 +12,21 @@ import os
 
 
 def apply_platform_env() -> None:
-    plat = os.environ.get("JAX_PLATFORMS")
-    if not plat:
-        return
     import jax
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+    # persistent compile cache: on this 1-core host + remote-compile TPU
+    # tunnel, recompiling the full model costs minutes per process
+    cache = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"))
     try:
-        jax.config.update("jax_platforms", plat)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
