@@ -170,6 +170,13 @@ class MP3DDataset:
             from .. import native
             sample["occ_dense"] = native.dense_from_sparse(
                 occ, self.voxel_num, self.occupancy_classes)
+            # optional invisible-voxel mask (reference
+            # mp3docc_dataset.py:512-517): 1 = visible/evaluated
+            if "occ_invalid_path" in info:
+                invalid = np.load(info["occ_invalid_path"])
+                visible = np.ones(self.voxel_num, np.uint8)
+                visible[invalid] = 0
+                sample["occ_visible"] = visible
         return sample
 
 
