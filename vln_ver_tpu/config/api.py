@@ -151,6 +151,12 @@ def build_ver_config(cfg: Config, **overrides) -> VERConfig:
         in_channels=cfg.get("in_channels",
                             head.get("in_channels", VERConfig.in_channels)),
     )
+    # top-level compute_dtype: 'bfloat16' | 'float32'
+    # (e.g. --cfg-options compute_dtype=bfloat16)
+    dt = cfg.get("compute_dtype")
+    if dt:
+        import jax.numpy as jnp
+        kwargs["dtype"] = jnp.bfloat16 if "bf" in str(dt) else jnp.float32
     kwargs.update(overrides)
     return VERConfig(**kwargs)
 
