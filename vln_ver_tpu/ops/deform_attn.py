@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .sampling import bilinear_sample_2d, trilinear_sample_3d
@@ -72,11 +73,17 @@ def ms_deform_attn_2d_onehot(value: jnp.ndarray,
         # dominant A-matrix bandwidth; coefficient rounding ~0.4% == a
         # few-millipixel sampling perturbation); accumulation stays fp32.
         cdt = value.dtype
+        # fp32 inputs must request HIGHEST precision — the TPU MXU's
+        # default fast path multiplies fp32 operands in bf16 (~1e-2 error,
+        # measured on hardware); bf16 inputs are single-pass either way
+        prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         A = jnp.einsum("bqhp,bqhpy,bqhpx->bhqyx", wgt.astype(cdt),
                        Y.astype(cdt), X.astype(cdt),
                        preferred_element_type=jnp.float32).astype(cdt)
         A = A.reshape(bs, num_heads, num_query, h * w)
         out = out + jnp.einsum("bhqs,bhsd->bhqd", A, vl.astype(cdt),
+                               precision=prec,
                                preferred_element_type=jnp.float32
                                ).astype(value.dtype)
     return out.transpose(0, 2, 1, 3).reshape(bs, num_query,

@@ -69,8 +69,11 @@ def _kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, num_heads,
             contrib = wgt * xs * ys
             acc = contrib if acc is None else acc + contrib
         v_h = value_ref[0, :, h * head_dim:(h + 1) * head_dim]
-        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = jnp.dot(
+        # HIGHEST precision: the MXU's default fast path multiplies in
+        # bf16 (~1e-2 error on fp32 inputs, measured on hardware)
+        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = jax.lax.dot(
             acc, v_h.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
 
