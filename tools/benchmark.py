@@ -58,23 +58,36 @@ def main():
 
     only_bev = args.mode == "bev"
 
-    @jax.jit
-    def forward(params, feats, w2p, shift):
-        outs = model.apply(params, feats, w2p, shift, deterministic=True,
-                           only_bev=only_bev)
-        if only_bev:
-            return outs["bev_embed"]
-        return outs["bev_embed"], outs["occupancy_preds"]
+    # device-honest timing (the remote axon backend doesn't block in
+    # block_until_ready): scan iters forwards inside one jit, serialized by
+    # a data dependency, and difference two scan lengths to remove RTT
+    def run_n(n):
+        @jax.jit
+        def fn(params, feats, w2p, shift):
+            def body(carry, _):
+                outs = model.apply(params, feats + carry * 0, w2p, shift,
+                                   deterministic=True, only_bev=only_bev)
+                s = jnp.sum(outs["bev_embed"].astype(jnp.float32))
+                if not only_bev:
+                    s += jnp.sum(outs["occupancy_preds"].astype(
+                        jnp.float32))
+                return s.astype(feats.dtype), ()
+            s, _ = jax.lax.scan(body, jnp.zeros((), feats.dtype), None,
+                                length=n)
+            return s
+        return fn
 
+    import jax.numpy as jnp
+    short, long_ = run_n(2), run_n(2 + args.iters)
     for _ in range(args.warmup):
-        out = forward(params, feats, w2p, shift)
-    jax.block_until_ready(out)
-
+        float(short(params, feats, w2p, shift))
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = forward(params, feats, w2p, shift)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    float(short(params, feats, w2p, shift))
+    t_short = time.perf_counter() - t0
+    float(long_(params, feats, w2p, shift))
+    t0 = time.perf_counter()
+    float(long_(params, feats, w2p, shift))
+    dt = max(time.perf_counter() - t0 - t_short, 1e-6)
     fps = args.batch_size * args.iters / dt
     print(f"device={jax.devices()[0].platform} cams={cfg.num_cams} "
           f"batch={args.batch_size} mode={args.mode} "
