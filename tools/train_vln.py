@@ -149,6 +149,10 @@ def main():
                 logf.flush()
             if step >= args.steps:
                 break
+
+    from vln_ver_tpu.utils.checkpoint import save_state
+    save_state(os.path.join(args.work_dir, "ckpt"), step, params)
+    print(f"saved policy params at step {step}")
     print("done")
 
 
