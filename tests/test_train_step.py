@@ -140,3 +140,34 @@ def test_train_step_on_mesh():
     # replicated params stay replicated after the update
     leaf = jax.tree.leaves(new_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 cpu devices")
+def test_train_step_multislice_matches_flat_mesh():
+    """(slice, data, view) hybrid mesh: batch sharded over (slice, data)
+    jointly must give the same step as the flat (data, view) mesh — the
+    layout changes which axis the gradient reduce crosses (DCN vs ICI),
+    not the math."""
+    from vln_ver_tpu.parallel import make_multislice_mesh
+
+    _, state, batch, tc = _init()
+    big = {k: np.repeat(v, 2, axis=0) for k, v in batch.items()}
+    step = make_train_step(TINY, tc, donate=False)
+
+    mesh_flat = make_mesh((4, 2))
+    with mesh_flat:
+        _, m_flat = step(replicate(mesh_flat, state),
+                         shard_batch(mesh_flat, big),
+                         jax.random.PRNGKey(0))
+
+    mesh_3d = make_multislice_mesh(num_slices=2, data=2, view=2)
+    assert mesh_3d.axis_names == ("slice", "data", "view")
+    with mesh_3d:
+        new_state, m_3d = step(replicate(mesh_3d, state),
+                               shard_batch(mesh_3d, big),
+                               jax.random.PRNGKey(0))
+    assert np.isfinite(float(m_3d["loss"]))
+    np.testing.assert_allclose(float(m_3d["loss"]),
+                               float(m_flat["loss"]), rtol=1e-5)
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated

@@ -39,8 +39,29 @@ def parse_args():
                         "actions, DAgger-style; teacher labels either way")
     p.add_argument("--work-dir", default="work_dirs/vln")
     p.add_argument("--embed-dims", type=int, default=None)
+    p.add_argument("--text-init", default=None,
+                   help="msgpack from tools/convert_text_encoder.py; "
+                        "grafts pretrained BERT weights into the "
+                        "instruction branch (sets text_arch='bert')")
+    p.add_argument("--bert-vocab", default=None,
+                   help="BERT vocab.txt; tokenize instructions with "
+                        "WordPiece so ids match --text-init embeddings")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
+
+
+def load_text_init(path):
+    """Read the converted BERT blob -> (PolicyConfig overrides, params)."""
+    import flax.serialization
+    with open(path, "rb") as f:
+        blob = flax.serialization.msgpack_restore(f.read())
+    meta = {k: int(v) for k, v in blob["meta"].items()}
+    overrides = dict(
+        text_arch="bert", vocab_size=meta["vocab_size"],
+        text_layers=meta["num_layers"], text_ffn_dim=meta["ffn_dim"],
+        embed_dims=meta["hidden"],
+        max_text_len=min(meta["max_len"], 80))
+    return overrides, blob["params"]
 
 
 def main():
@@ -71,16 +92,25 @@ def main():
             nodes_per_scan=9, num_episodes=16, bev_num=bev_num,
             embed_dims=dims, max_text_len=cfg.max_text_len)
     else:
-        from vln_ver_tpu.agent.data import (load_graphs, load_r2r_split,
+        from vln_ver_tpu.agent.data import (WordPieceVocab, load_graphs,
+                                            load_r2r_split,
                                             load_ver_features)
         dims = args.embed_dims or 768
-        cfg = PolicyConfig(embed_dims=dims)
-        episodes, vocab = load_r2r_split(args.data_dir, "train", None,
-                                         cfg.max_text_len)
+        vocab0 = (WordPieceVocab(args.bert_vocab)
+                  if args.bert_vocab else None)
+        episodes, vocab = load_r2r_split(args.data_dir, "train", vocab0, 80)
         cfg = PolicyConfig(embed_dims=dims, vocab_size=len(vocab))
         graphs = load_graphs(args.connectivity,
                              [e["scan"] for e in episodes])
         ver = load_ver_features(args.ver)
+
+    if args.text_init:
+        import dataclasses as _dc
+        overrides, text_params = load_text_init(args.text_init)
+        cfg = _dc.replace(cfg, **overrides)
+        print(f"text-init: BERT arch, {overrides['text_layers']} layers, "
+              f"hidden {overrides['embed_dims']}, "
+              f"vocab {overrides['vocab_size']}")
 
     env = R2REnv(episodes, graphs, ver, max_nodes=cfg.max_nodes)
     policy = VLNPolicy(cfg)
@@ -94,6 +124,11 @@ def main():
         jnp.asarray(obs["volume"])[None], mem0,
         jnp.asarray(obs["cur_pos"])[None],
         jnp.asarray(obs["cur_slot"])[None])
+    if args.text_init:
+        import flax.core
+        params = flax.core.unfreeze(params)
+        params["params"]["text_encoder"] = jax.tree.map(jnp.asarray,
+                                                        text_params)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"policy params: {n_params/1e6:.2f}M, episodes: {len(episodes)}")
 

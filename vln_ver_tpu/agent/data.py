@@ -56,6 +56,59 @@ class Vocab:
         return len(self.itos)
 
 
+class WordPieceVocab:
+    """BERT-compatible WordPiece tokenizer (greedy longest-match-first),
+    for use with pretrained text weights from
+    ``tools/convert_text_encoder.py``.  Reads a standard ``vocab.txt``
+    (one token per line; ``##`` continuation prefix; [PAD]=0)."""
+
+    def __init__(self, vocab_path: str, max_chars_per_word: int = 100):
+        with open(vocab_path, encoding="utf-8") as f:
+            self.itos = [line.rstrip("\n") for line in f]
+        self.stoi = {w: i for i, w in enumerate(self.itos)}
+        self.unk = self.stoi.get("[UNK]", 1)
+        self.cls = self.stoi.get("[CLS]")
+        self.sep = self.stoi.get("[SEP]")
+        self.max_chars = max_chars_per_word
+
+    def _wordpiece(self, word: str) -> List[int]:
+        if len(word) > self.max_chars:
+            return [self.unk]
+        ids, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.stoi:
+                    cur = self.stoi[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def encode(self, text: str, max_len: int) -> np.ndarray:
+        ids = []
+        if self.cls is not None:
+            ids.append(self.cls)
+        for w in tokenize(text):
+            ids.extend(self._wordpiece(w))
+        if self.sep is not None:
+            ids.append(self.sep)
+        ids = ids[:max_len]
+        out = np.zeros((max_len,), np.int32)
+        out[:len(ids)] = ids
+        return out
+
+    def __len__(self):
+        return len(self.itos)
+
+
 def load_r2r_split(data_dir: str, split: str, vocab: Optional[Vocab],
                    max_text_len: int = 80, prefix: str = "R2R"
                    ) -> Tuple[List[Dict], Optional[Vocab]]:

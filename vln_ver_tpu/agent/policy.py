@@ -41,6 +41,12 @@ class PolicyConfig:
     num_query_tokens: int = 8
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # "preln" trains from scratch; "bert" matches HF BertModel layout so
+    # pretrained weights drop in (tools/convert_text_encoder.py)
+    text_arch: str = "preln"
+    # text branch may need a different FFN width than the fusion blocks
+    # (e.g. BERT-base uses 3072); None = same as ffn_dim
+    text_ffn_dim: Optional[int] = None
 
 
 class PolicyOutput(NamedTuple):
@@ -88,9 +94,10 @@ class VLNPolicy(nn.Module):
         self.text_encoder = TextEncoder(
             vocab_size=cfg.vocab_size, embed_dims=cfg.embed_dims,
             num_layers=cfg.text_layers, num_heads=cfg.num_heads,
-            ffn_dim=cfg.ffn_dim, max_len=cfg.max_text_len,
+            ffn_dim=cfg.text_ffn_dim or cfg.ffn_dim,
+            max_len=cfg.max_text_len,
             dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
-            name="text_encoder")
+            arch=cfg.text_arch, name="text_encoder")
         self.ver_tokenizer = VERTokenizer(
             embed_dims=cfg.embed_dims, bev_z=cfg.bev_z, bev_h=cfg.bev_h,
             bev_w=cfg.bev_w, num_query_tokens=cfg.num_query_tokens,

@@ -1,2 +1,2 @@
-from .mesh import (batch_pspecs, make_mesh, shard_batch,  # noqa: F401
-                   replicate)
+from .mesh import (batch_pspecs, make_mesh,  # noqa: F401
+                   make_multislice_mesh, replicate, shard_batch)

@@ -37,35 +37,60 @@ def make_mesh(shape: Optional[Tuple[int, int]] = None,
     return Mesh(arr, axis_names=("data", "view"))
 
 
-# PartitionSpec per batch key: batch axis over 'data', camera axis over
-# 'view' where present.
-_BATCH_SPECS: Dict[str, P] = {
-    "features": P("data", "view"),
-    "world2pixel": P("data", "view"),
-    "origin_shift": P("data"),
-    "gt_boxes": P("data"),
-    "gt_labels": P("data"),
-    "gt_valid": P("data"),
-    "gt_layout": P("data"),
-    "layout_valid": P("data"),
-    "occ_dense": P("data"),
-}
+def make_multislice_mesh(num_slices: int, data: int, view: int = 1,
+                         devices=None) -> Mesh:
+    """(slice, data, view) mesh for multi-slice pods: the ``slice`` axis
+    crosses DCN, ``data``/``view`` ride ICI within a slice.
+
+    Shardings put the batch over ``(slice, data)`` jointly, so the only
+    cross-slice traffic is the gradient all-reduce (once per step, DCN-
+    friendly); all per-sample collectives (camera psum for the SCA lift)
+    stay on ICI.  On real multi-slice hardware the device order comes from
+    ``mesh_utils.create_hybrid_device_mesh`` (slice-major); on
+    single-process backends (CPU tests) a plain reshape is used.
+    """
+    devices = devices if devices is not None else jax.devices()
+    assert num_slices * data * view == len(devices), (
+        num_slices, data, view, len(devices))
+    arr = None
+    if getattr(devices[0], "slice_index", None) is not None:
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, data, view),
+            dcn_mesh_shape=(num_slices, 1, 1), devices=devices)
+    if arr is None:
+        arr = np.asarray(devices).reshape(num_slices, data, view)
+    return Mesh(arr, axis_names=("slice", "data", "view"))
 
 
-def batch_pspecs(batch: Dict) -> Dict[str, P]:
-    return {k: _BATCH_SPECS.get(k, P("data")) for k in batch
-            if k != "token"}
+# Per-batch-key axis layout: batch axis over the data axes (('slice',)
+# 'data'), camera axis over 'view' where present.
+_VIEW_KEYS = ("features", "world2pixel")
+
+
+def _spec(key: str, mesh: Mesh) -> P:
+    batch_axes = (("slice", "data") if "slice" in mesh.axis_names
+                  else "data")
+    if key in _VIEW_KEYS:
+        return P(batch_axes, "view")
+    return P(batch_axes)
+
+
+def batch_pspecs(batch: Dict, mesh: Optional[Mesh] = None) -> Dict[str, P]:
+    if mesh is None:  # legacy call sites: 2-axis (data, view) mesh
+        return {k: (P("data", "view") if k in _VIEW_KEYS else P("data"))
+                for k in batch if k != "token"}
+    return {k: _spec(k, mesh) for k in batch if k != "token"}
 
 
 def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
-    """device_put the batch with (data, view) shardings; 'token' stays host."""
+    """device_put the batch with batch/view shardings; 'token' stays host."""
     out = {}
     for k, v in batch.items():
         if k == "token":
             out[k] = v
             continue
-        spec = _BATCH_SPECS.get(k, P("data"))
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        out[k] = jax.device_put(v, NamedSharding(mesh, _spec(k, mesh)))
     return out
 
 
