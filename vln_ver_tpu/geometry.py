@@ -42,6 +42,43 @@ def voxel_reference_points(bev_z: int, bev_h: int, bev_w: int,
     return jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
 
 
+def pillar_reference_points(bev_h: int, bev_w: int,
+                            num_points_in_pillar: int = 4,
+                            dtype=jnp.float32) -> jnp.ndarray:
+    """Normalised pillar sampling points of a 2D BEV grid.
+
+    The BEVFormer-2D encoder samples each BEV cell at
+    ``num_points_in_pillar`` heights (the reference's missing
+    ``encoder.py`` 'get_reference_points' 3d branch, reconstructed from its
+    voxel generalisation at voxel_encoder.py:53-83 with bev_z ->
+    num_points_in_pillar).  Returns ``(bev_h*bev_w, P, 3)`` (x, y, z) in
+    [0, 1]; flat order is h-major then w, anchors along the last-but-one
+    axis bottom-up.
+    """
+    zs = (jnp.arange(num_points_in_pillar, dtype=dtype) + 0.5) \
+        / num_points_in_pillar
+    ys = (jnp.arange(bev_h, dtype=dtype) + 0.5) / bev_h
+    xs = (jnp.arange(bev_w, dtype=dtype) + 0.5) / bev_w
+    y, x = jnp.meshgrid(ys, xs, indexing="ij")
+    xy = jnp.stack([x, y], axis=-1).reshape(-1, 2)           # (hw, 2)
+    xy = jnp.broadcast_to(xy[:, None, :],
+                          (xy.shape[0], num_points_in_pillar, 2))
+    z = jnp.broadcast_to(zs[None, :, None],
+                         (xy.shape[0], num_points_in_pillar, 1))
+    return jnp.concatenate([xy, z], axis=-1)
+
+
+def bev_reference_points(bev_h: int, bev_w: int,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    """Normalised 2D BEV cell centres, ``(bev_h*bev_w, 2)`` (x, y) in
+    [0, 1], h-major flat order — TSA-2D reference points (the missing
+    encoder.py 'get_reference_points' 2d branch)."""
+    ys = (jnp.arange(bev_h, dtype=dtype) + 0.5) / bev_h
+    xs = (jnp.arange(bev_w, dtype=dtype) + 0.5) / bev_w
+    y, x = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([x, y], axis=-1).reshape(-1, 2)
+
+
 def project_reference_points(ref_xyz: jnp.ndarray,
                              world2pixel: jnp.ndarray,
                              origin_shift: jnp.ndarray,

@@ -2,3 +2,4 @@
 
 from .config import VERConfig  # noqa: F401
 from .detector import VoxelFormer  # noqa: F401
+from .bev2d import BEV2DConfig, BEVFormer2D  # noqa: F401
