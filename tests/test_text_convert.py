@@ -85,6 +85,68 @@ def test_bert_conversion_tree_matches_init():
     assert paths_i == paths_c
 
 
+def test_text_init_roundtrip_into_policy(tmp_path):
+    """Full --text-init path: converted blob -> msgpack -> PolicyConfig
+    overrides -> grafted into VLNPolicy params -> policy forward works and
+    the text branch output equals the torch BERT."""
+    import sys
+
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tools")
+    cfg, model = _tiny_bert()
+    params = convert_hf_bert_params(model.state_dict(),
+                                    num_layers=cfg.num_hidden_layers,
+                                    num_heads=cfg.num_attention_heads)
+    blob = flax.serialization.msgpack_serialize({
+        "meta": {k: np.int32(v) for k, v in dict(
+            num_layers=cfg.num_hidden_layers,
+            num_heads=cfg.num_attention_heads,
+            hidden=cfg.hidden_size, vocab_size=cfg.vocab_size,
+            max_len=cfg.max_position_embeddings,
+            ffn_dim=cfg.intermediate_size).items()},
+        "params": params["params"]})
+    path = tmp_path / "bert.msgpack"
+    path.write_bytes(blob)
+
+    from train_vln import load_text_init
+    overrides, text_params = load_text_init(str(path))
+    assert overrides["text_arch"] == "bert"
+    assert overrides["embed_dims"] == cfg.hidden_size
+
+    from vln_ver_tpu.agent import PolicyConfig, VLNPolicy, init_memory
+    pcfg = PolicyConfig(num_heads=cfg.num_attention_heads,
+                        fusion_layers=1, ffn_dim=64, max_nodes=4,
+                        bev_z=1, bev_h=2, bev_w=2, num_query_tokens=2,
+                        **overrides)
+    policy = VLNPolicy(pcfg)
+    b, l = 2, 9
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, (b, l)))
+    mask = jnp.ones((b, l), bool)
+    volume = jnp.asarray(rng.standard_normal(
+        (b, 4, pcfg.embed_dims)).astype(np.float32))
+    mem = init_memory(b, pcfg.max_nodes, pcfg.embed_dims)
+    pos = jnp.zeros((b, 3))
+    slot = jnp.zeros((b,), jnp.int32)
+    pparams = policy.init(jax.random.PRNGKey(0), tokens, mask, volume,
+                          mem, pos, slot)
+    import flax.core
+    pparams = flax.core.unfreeze(pparams)
+    pparams["params"]["text_encoder"] = jax.tree.map(jnp.asarray,
+                                                     text_params)
+    out = policy.apply(pparams, tokens, mask, volume, mem, pos, slot)
+    assert np.all(np.isfinite(np.asarray(out.logits)))
+
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(np.asarray(tokens)),
+                    attention_mask=torch.ones((b, l), dtype=torch.long)
+                    ).last_hidden_state.numpy()
+    np.testing.assert_allclose(np.asarray(out.text_feats), ref, atol=2e-5)
+
+
 def test_wordpiece_matches_hf_tokenizer(tmp_path):
     words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "walk", "to", "the",
              "kitchen", "turn", "left", "right", "##s", "##ing", "down",
