@@ -136,3 +136,46 @@ def test_forward_decoder_on_bev_variants():
         assert outs["all_bbox_preds"].shape == (
             cfg.decoder_layers, 1, cfg.num_query, cfg.code_size)
         assert np.isfinite(np.asarray(outs["all_cls_scores"])).all()
+
+
+def test_upsampler_matches_conv_transpose():
+    """The even-grid factorised upsampler must be EXACTLY the reference
+    formulation: ConvTranspose3d(k=(3,5,5), stride=(1,2,2), dil=(2,2,2),
+    torch pad (2,4,4), output_padding (0,1,1)) == flax ConvTranspose with
+    lax padding ((2,2),(4,5),(4,5)) — same params, same output."""
+    import flax.linen as nn
+
+    from vln_ver_tpu.models.head import OccUpsampler
+
+    c, stages = 16, 2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 3, 5, 5, c)).astype(np.float32))
+
+    class RefUp(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(stages):
+                x = nn.ConvTranspose(
+                    features=c, kernel_size=(3, 5, 5), strides=(1, 2, 2),
+                    padding=((2, 2), (4, 5), (4, 5)),
+                    kernel_dilation=(2, 2, 2), name=f"up{i}")(x)
+            return x
+
+    ours = OccUpsampler(channels=c, num_stages=stages)
+    params = ours.init(jax.random.PRNGKey(3), x)
+    # same param tree -> the reference module must accept it verbatim
+    ref_out = RefUp().apply(params, x)
+    our_out = ours.apply(params, x)
+    assert our_out.shape == ref_out.shape == (2, 3, 20, 20, c)
+    np.testing.assert_allclose(np.asarray(our_out), np.asarray(ref_out),
+                               atol=2e-5, rtol=1e-5)
+    # and with non-zero bias (odd rows/cols are bias-only)
+    import flax.core
+    p2 = flax.core.unfreeze(params)
+    for i in range(stages):
+        p2["params"][f"up{i}"]["bias"] = jnp.asarray(
+            rng.standard_normal((c,)).astype(np.float32))
+    ref_out = RefUp().apply(p2, x)
+    our_out = ours.apply(p2, x)
+    np.testing.assert_allclose(np.asarray(our_out), np.asarray(ref_out),
+                               atol=2e-5, rtol=1e-5)

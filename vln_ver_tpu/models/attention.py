@@ -64,7 +64,13 @@ def _offset_grid_init_3d(num_heads: int, num_levels: int, num_points: int):
 class CamDeformableAttention(nn.Module):
     """Per-camera 2D deformable attention (reference MSDeformableAttention3D).
 
-    Operates batch-first on ``(B', nq, C)`` where B' folds (batch, camera).
+    TPU-first restructuring: the sampling offsets and attention weights
+    depend only on the query, so for the multi-camera lift they are
+    computed ONCE per sample on ``(B, nq, C)`` and broadcast across the
+    camera axis — the reference recomputes them per camera on the gathered
+    per-view queries (spatial_cross_attention.py:163-165), which is the
+    same math with ~num_cams x the Dense FLOPs and a (B*cams, nq, C) query
+    materialisation in HBM.
     """
     embed_dims: int = 768
     num_heads: int = 8
@@ -77,15 +83,16 @@ class CamDeformableAttention(nn.Module):
     def __call__(self, query: jnp.ndarray, value: jnp.ndarray,
                  reference_points: jnp.ndarray,
                  spatial_shapes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
-        """query (B', nq, C); value (B', nv, C);
-        reference_points (B', nq, num_Z_anchors, 2) in [0,1]."""
+        """query (B, nq, C); value (B, num_cam, nv, C);
+        reference_points (B, num_cam, nq, num_Z_anchors, 2) in [0,1].
+        Returns (B, num_cam, nq, C)."""
         bsz, nq, _ = query.shape
-        nv = value.shape[1]
+        num_cam, nv = value.shape[1], value.shape[2]
         hd = self.embed_dims // self.num_heads
 
         value = nn.Dense(self.embed_dims, name="value_proj",
                          dtype=self.dtype)(value)
-        value = value.reshape(bsz, nv, self.num_heads, hd)
+        value = value.reshape(bsz * num_cam, nv, self.num_heads, hd)
 
         offsets = nn.Dense(
             self.num_heads * self.num_levels * self.num_points * 2,
@@ -103,21 +110,28 @@ class CamDeformableAttention(nn.Module):
         attn = attn.reshape(bsz, nq, self.num_heads,
                             self.num_levels * self.num_points)
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = attn.reshape(bsz, nq, self.num_heads, self.num_levels,
+        attn = attn.reshape(bsz, 1, nq, self.num_heads, self.num_levels,
                             self.num_points)
+        attn = jnp.broadcast_to(
+            attn, (bsz, num_cam) + attn.shape[2:]).reshape(
+                bsz * num_cam, nq, self.num_heads, self.num_levels,
+                self.num_points)
 
         # Distribute the P sampling points across the query's Z anchors
-        # (spatial_cross_attention.py:352-374).
-        num_anchors = reference_points.shape[2]
+        # (spatial_cross_attention.py:352-374); offsets broadcast over the
+        # camera axis, reference points differ per camera.
+        num_anchors = reference_points.shape[3]
         pts_per_anchor = self.num_points // num_anchors
         normalizer = jnp.asarray(
             [[w, h] for (h, w) in spatial_shapes], dtype=jnp.float32)
         offsets = offsets / normalizer[None, None, None, :, None, :]
-        offsets = offsets.reshape(bsz, nq, self.num_heads, self.num_levels,
-                                  pts_per_anchor, num_anchors, 2)
-        ref = reference_points[:, :, None, None, None, :, :]
+        offsets = offsets.reshape(bsz, 1, nq, self.num_heads,
+                                  self.num_levels, pts_per_anchor,
+                                  num_anchors, 2)
+        ref = reference_points[:, :, :, None, None, None, :, :]
         locations = (ref + offsets).reshape(
-            bsz, nq, self.num_heads, self.num_levels, self.num_points, 2)
+            bsz * num_cam, nq, self.num_heads, self.num_levels,
+            self.num_points, 2)
 
         if self.deform_impl == "pallas":
             from ..ops.pallas_deform import ms_deform_attn_2d_pallas
@@ -133,7 +147,8 @@ class CamDeformableAttention(nn.Module):
         else:
             out = ms_deform_attn_2d(value.astype(jnp.float32),
                                     spatial_shapes, locations, attn)
-        return out.astype(self.dtype)
+        return out.reshape(bsz, num_cam, nq,
+                           self.embed_dims).astype(self.dtype)
 
 
 class SpatialCrossAttention(nn.Module):
@@ -165,11 +180,6 @@ class SpatialCrossAttention(nn.Module):
         if query_pos is not None:
             query = query + query_pos
 
-        # Fold cameras into batch; every camera attends from all queries.
-        q_tiled = jnp.repeat(query[:, None], num_cam, axis=1).reshape(
-            bsz * num_cam, nq, self.embed_dims)
-        v_flat = value.reshape(bsz * num_cam, value.shape[2],
-                               self.embed_dims)
         # Zero the reference coords only for queries invisible in ALL
         # anchors of a camera (their output is masked away below anyway).
         # Partially visible queries keep their true per-anchor coords: the
@@ -178,15 +188,15 @@ class SpatialCrossAttention(nn.Module):
         # out-of-image anchors fall to grid_sample zero padding naturally.
         any_vis = jnp.any(bev_mask, axis=-1, keepdims=True)
         ref = jnp.where(any_vis[..., None], reference_points_cam, 0.0)
-        ref = ref.reshape(bsz * num_cam, nq, -1, 2)
 
+        # Offsets/weights are query-only -> computed once inside and
+        # broadcast over cameras; every camera attends from all queries.
         attn_out = CamDeformableAttention(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             num_levels=self.num_levels, num_points=self.num_points,
             dtype=self.dtype, deform_impl=self.deform_impl,
-            name="deformable_attention")(q_tiled, v_flat, ref,
+            name="deformable_attention")(query, value, ref,
                                          spatial_shapes)
-        attn_out = attn_out.reshape(bsz, num_cam, nq, self.embed_dims)
 
         # Per-query camera hit count (any anchor visible), as in
         # spatial_cross_attention.py:170-173.

@@ -92,14 +92,55 @@ class OccBranch(nn.Module):
             name="out")(x)
 
 
-class OccUpsampler(nn.Module):
-    """Coarse-to-fine 15->120 (h, w) transposed-conv stack (head:254-258).
+class _UpStage(nn.Module):
+    """One upsampler stage, computed at 1/4 the transposed-conv FLOPs.
 
-    Three ConvTranspose3d(768, 768, k=(3,5,5), stride=(1,2,2), pad=(2,4,4),
-    dilation=(2,2,2), output_padding=(0,1,1)) — each doubles h and w and
-    preserves z.  NDHWC layout; lax padding derived from the torch params:
-    lo = d*(k-1) - p, hi = lo + output_padding.
+    The reference stage is ConvTranspose3d(C, C, k=(3,5,5), stride=(1,2,2),
+    pad=(2,4,4), dilation=(2,2,2), output_padding=(0,1,1)) (head:254-258).
+    With stride 2 and kernel dilation 2 every tap offset is even, so ALL
+    kernel contributions land on even output rows/columns — odd positions
+    receive only the bias (a deconv artifact the reference trains through).
+    The identical function is therefore a stride-1 correlation on the even
+    grid
+
+        even[j_y, j_x] = sum_k x[j + k - 2] * W[k]      (z: dilation 2)
+
+    interleaved with constant bias planes — 4x fewer MXU FLOPs than the
+    zero-dilated transposed conv and exactly the same output (parity test:
+    tests/test_model_forward.py::test_upsampler_matches_conv_transpose).
+    Param tree/init match nn.ConvTranspose ({kernel (3,5,5,C,C), bias}).
     """
+    channels: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 5, 5, c_in, self.channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        b, z, h, w, _ = x.shape
+        even = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1, 1),
+            padding=((2, 2), (2, 2), (2, 2)),
+            rhs_dilation=(2, 1, 1),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        even = even + bias.astype(self.dtype)
+        fill = jnp.broadcast_to(bias.astype(self.dtype), even.shape)
+        # interleave along x then y: even features at (2j_y, 2j_x),
+        # bias everywhere else
+        row = jnp.stack([even, fill], axis=4).reshape(
+            b, z, h, 2 * w, self.channels)
+        fill_row = jnp.broadcast_to(bias.astype(self.dtype), row.shape)
+        return jnp.stack([row, fill_row], axis=3).reshape(
+            b, z, 2 * h, 2 * w, self.channels)
+
+
+class OccUpsampler(nn.Module):
+    """Coarse-to-fine 15->120 (h, w) stack (head:254-258): three stages,
+    each doubling (h, w) and preserving z.  See _UpStage for the
+    even-grid factorisation that replaces the transposed conv."""
     channels: int = 768
     num_stages: int = 3
     dtype: jnp.dtype = jnp.float32
@@ -108,14 +149,8 @@ class OccUpsampler(nn.Module):
     def __call__(self, x):
         # x: (B, Z, H, W, C)
         for i in range(self.num_stages):
-            x = nn.ConvTranspose(
-                features=self.channels,
-                kernel_size=(3, 5, 5),
-                strides=(1, 2, 2),
-                padding=((2, 2), (4, 5), (4, 5)),
-                kernel_dilation=(2, 2, 2),
-                dtype=self.dtype,
-                name=f"up{i}")(x)
+            x = _UpStage(self.channels, dtype=self.dtype,
+                         name=f"up{i}")(x)
         return x
 
 
