@@ -147,7 +147,7 @@ def test_upsampler_matches_conv_transpose():
 
     from vln_ver_tpu.models.head import OccUpsampler
 
-    c, stages = 16, 2
+    c, stages = 16, 3
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 3, 5, 5, c)).astype(np.float32))
 
@@ -166,7 +166,7 @@ def test_upsampler_matches_conv_transpose():
     # same param tree -> the reference module must accept it verbatim
     ref_out = RefUp().apply(params, x)
     our_out = ours.apply(params, x)
-    assert our_out.shape == ref_out.shape == (2, 3, 20, 20, c)
+    assert our_out.shape == ref_out.shape == (2, 3, 40, 40, c)
     np.testing.assert_allclose(np.asarray(our_out), np.asarray(ref_out),
                                atol=2e-5, rtol=1e-5)
     # and with non-zero bias (odd rows/cols are bias-only)

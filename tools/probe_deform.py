@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""On-chip micro-probes of the deformable-sampling A-matrix construction.
+
+Times (scan-differenced) the current 3-operand einsum against an
+elementwise-accumulation variant and the pure A@V matmul, at the full
+encoder shape (bs*cams=144, nq=900, heads=8, P=8, hw=196, hd=96).
+
+Usage: python tools/probe_deform.py [--variants einsum,elemwise,matmul]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", default="einsum,elemwise,matmul,fused,op")
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--bs", type=int, default=144)
+    args = p.parse_args()
+
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    bs, nq, H, P, h, w, hd = args.bs, 900, 8, 8, 14, 14, 96
+    cdt = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.random((bs, nq, H, P, w)), cdt)
+    Y = jnp.asarray(rng.random((bs, nq, H, P, h)), cdt)
+    W = jnp.asarray(rng.random((bs, nq, H, P)), cdt)
+    V = jnp.asarray(rng.random((bs, H, h * w, hd)), cdt)
+    A0 = jnp.asarray(rng.random((bs, H, nq, h * w)), cdt)
+    LOC = jnp.asarray(rng.random((bs, nq, H, 1, P, 2)), jnp.float32)
+    VAL = jnp.asarray(rng.random((bs, h * w, H, hd)), cdt)
+
+    def make(variant, n):
+        @jax.jit
+        def fn(X, Y, W, V, A0):
+            def body(carry, _):
+                Xc = X + carry * jnp.bfloat16(0)
+                if variant == "einsum":
+                    A = jnp.einsum("bqhp,bqhpy,bqhpx->bhqyx", W, Y, Xc,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(cdt)
+                    A = A.reshape(bs, H, nq, h * w)
+                    out = jnp.einsum("bhqs,bhsd->bhqd", A, V,
+                                     preferred_element_type=jnp.float32)
+                elif variant == "elemwise":
+                    wy = (W[..., None] * Y).astype(cdt)   # (b,q,H,P,y)
+                    A = jnp.sum(wy[..., :, None] * Xc[..., None, :],
+                                axis=3)                    # (b,q,H,y,x)
+                    A = A.transpose(0, 2, 1, 3, 4).reshape(bs, H, nq,
+                                                           h * w)
+                    out = jnp.einsum("bhqs,bhsd->bhqd", A.astype(cdt), V,
+                                     preferred_element_type=jnp.float32)
+                elif variant == "fused":
+                    # per-point accumulation, no P axis materialised
+                    acc = 0.0
+                    for pp in range(P):
+                        wy = (W[..., pp, None] * Y[..., pp, :]).astype(cdt)
+                        acc = acc + (wy[..., :, None]
+                                     * Xc[..., pp, None, :])
+                    A = acc.transpose(0, 2, 1, 3, 4).reshape(bs, H, nq,
+                                                             h * w)
+                    out = jnp.einsum("bhqs,bhsd->bhqd", A.astype(cdt), V,
+                                     preferred_element_type=jnp.float32)
+                elif variant == "op":
+                    # the full production op incl. X/Y construction
+                    from vln_ver_tpu.ops.deform_attn import \
+                        ms_deform_attn_2d_onehot
+                    loc = LOC + carry.astype(jnp.float32) * 0
+                    out = ms_deform_attn_2d_onehot(
+                        VAL, ((h, w),), loc,
+                        W.astype(jnp.float32).reshape(bs, nq, H, 1, P))
+                else:  # matmul: A@V only
+                    A = A0 + carry.astype(cdt)
+                    out = jnp.einsum("bhqs,bhsd->bhqd", A, V,
+                                     preferred_element_type=jnp.float32)
+                s = jnp.sum(out.astype(jnp.float32))
+                return s.astype(jnp.bfloat16), ()
+            s, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=n)
+            return s
+        return fn
+
+    for variant in args.variants.split(","):
+        short, long_ = make(variant, 2), make(variant, 2 + args.iters)
+        for _ in range(2):
+            float(short(X, Y, W, V, A0))
+        t0 = time.perf_counter()
+        float(short(X, Y, W, V, A0))
+        ts = time.perf_counter() - t0
+        float(long_(X, Y, W, V, A0))
+        t0 = time.perf_counter()
+        float(long_(X, Y, W, V, A0))
+        tl = time.perf_counter() - t0
+        print(json.dumps({variant: round((tl - ts) / args.iters * 1000,
+                                         3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -198,7 +198,10 @@ def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 def iterate_batches(dataset: MP3DDataset, batch_size: int,
                     indices: Optional[Sequence[int]] = None,
                     drop_last: bool = False, prefetch: int = 2):
-    """Simple background-thread prefetching batch iterator."""
+    """Simple background-thread prefetching batch iterator.
+
+    Worker exceptions are re-raised in the consumer — a dead loader must
+    fail the step loudly, not hang the main thread on an empty queue."""
     import queue
 
     idx = list(indices if indices is not None else range(len(dataset)))
@@ -206,10 +209,13 @@ def iterate_batches(dataset: MP3DDataset, batch_size: int,
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
     def worker():
-        for b in range(nb):
-            chunk = idx[b * batch_size:(b + 1) * batch_size]
-            q.put(collate([dataset[i] for i in chunk]))
-        q.put(None)
+        try:
+            for b in range(nb):
+                chunk = idx[b * batch_size:(b + 1) * batch_size]
+                q.put(collate([dataset[i] for i in chunk]))
+            q.put(None)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -217,4 +223,6 @@ def iterate_batches(dataset: MP3DDataset, batch_size: int,
         item = q.get()
         if item is None:
             return
+        if isinstance(item, BaseException):
+            raise RuntimeError("dataloader worker failed") from item
         yield item

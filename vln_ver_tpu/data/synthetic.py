@@ -107,7 +107,11 @@ def make_synthetic_dataset(root: str,
     mode = "a" if os.path.exists(feat_path) else "w"
     with h5py.File(feat_path, mode) as h5:
         for s in range(num_scans):
-            scan = f"scan{s:03d}"
+            # namespace scans by split: synthetic splits share the root
+            # (features h5, world2pixel/, occ/), so identical scan names
+            # across splits would collide on the per-token occ .npy files
+            scan = (f"scan{s:03d}" if split == "trainval"
+                    else f"{split}scan{s:03d}")
             cam_json = {}
             for v in range(viewpoints_per_scan):
                 vp = f"vp{v:03d}"
@@ -138,11 +142,26 @@ def make_synthetic_dataset(root: str,
                     "layout": layout,
                     "occ_gt_path": occ_path,
                 })
-            with open(os.path.join(root, "world2pixel",
-                                   scan + ".json"), "w") as f:
+            # merge with any existing per-scan camera file: splits share the
+            # root (like the reference's per-scan world2pixel JSONs), and a
+            # later split generation with fewer viewpoints must not clobber
+            # an earlier split's cameras
+            cam_path = os.path.join(root, "world2pixel", scan + ".json")
+            if os.path.exists(cam_path):
+                with open(cam_path) as f:
+                    merged = json.load(f)
+                merged.update(cam_json)
+                cam_json = merged
+            with open(cam_path, "w") as f:
                 json.dump(cam_json, f)
 
-    with open(os.path.join(root, "scanvp2cord.pkl"), "wb") as f:
+    cord_path = os.path.join(root, "scanvp2cord.pkl")
+    if os.path.exists(cord_path):
+        with open(cord_path, "rb") as f:
+            prev = pickle.load(f)
+        prev.update(cords)
+        cords = prev
+    with open(cord_path, "wb") as f:
         pickle.dump(cords, f)
     ann_path = os.path.join(root, f"mp3d_{split}.pkl")
     with open(ann_path, "wb") as f:

@@ -71,17 +71,23 @@ def ms_deform_attn_2d_onehot(value: jnp.ndarray,
         # A[b,H,q,y,x] = sum_p w * Y * X  -> then contract (y,x) with V.
         # Interpolation matrices follow the value dtype (bf16 halves the
         # dominant A-matrix bandwidth; coefficient rounding ~0.4% == a
-        # few-millipixel sampling perturbation); accumulation stays fp32.
+        # few-millipixel sampling perturbation).
         cdt = value.dtype
         # fp32 inputs must request HIGHEST precision — the TPU MXU's
         # default fast path multiplies fp32 operands in bf16 (~1e-2 error,
         # measured on hardware); bf16 inputs are single-pass either way
         prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
                 else jax.lax.Precision.DEFAULT)
-        A = jnp.einsum("bqhp,bqhpy,bqhpx->bhqyx", wgt.astype(cdt),
-                       Y.astype(cdt), X.astype(cdt),
-                       preferred_element_type=jnp.float32).astype(cdt)
-        A = A.reshape(bs, num_heads, num_query, h * w)
+        # Per-point fused accumulation: a 3-operand einsum over p lowers to
+        # ~1M tiny (y,p)@(p,x) matmuls on TPU (24 ms at full encoder shape
+        # vs 7.8 ms for this loop, tools/probe_deform.py) — the unrolled
+        # outer-product sum fuses into one elementwise kernel instead.
+        wy = (wgt[..., None] * Y).astype(cdt)            # (bs,nq,H,P,y)
+        Xc = X.astype(cdt)
+        A = sum(wy[..., p, :, None] * Xc[..., p, None, :]
+                for p in range(num_points))              # (bs,nq,H,y,x)
+        A = A.transpose(0, 2, 1, 3, 4).reshape(bs, num_heads, num_query,
+                                               h * w)
         out = out + jnp.einsum("bhqs,bhsd->bhqd", A, vl.astype(cdt),
                                precision=prec,
                                preferred_element_type=jnp.float32
