@@ -104,7 +104,8 @@ def test_rollout_and_evaluate_random_policy(tmp_path):
         jnp.asarray(obs["cur_slot"])[None])
     metrics = evaluate(policy, params, env, CFG, limit=2)
     assert set(metrics) == {"nav_error", "success", "spl",
-                            "oracle_success", "traj_length"}
+                            "oracle_success", "traj_length",
+                            "ndtw", "sdtw", "cls"}
     assert np.isfinite(list(metrics.values())).all()
 
 
@@ -131,3 +132,41 @@ def test_imitation_loss_grad_flows(tmp_path):
     assert np.isfinite(float(loss))
     gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
     assert gnorm > 0
+
+
+def test_path_fidelity_metrics(tmp_path):
+    """nDTW / SDTW / CLS (the R4R headline metrics): 1.0 for the teacher
+    path, degraded for a detouring trajectory."""
+    episodes, graphs, ver = make_synthetic_vln(
+        str(tmp_path), num_scans=1, nodes_per_scan=9, num_episodes=4,
+        bev_num=BEV_NUM, embed_dims=CFG.embed_dims,
+        max_text_len=CFG.max_text_len)
+    env = R2REnv(episodes, graphs, ver, max_nodes=CFG.max_nodes)
+    # pick an episode with a non-trivial path
+    idx = next(i for i, e in enumerate(episodes) if len(e["path"]) >= 3)
+
+    state = env.reset(idx)
+    guard = 0
+    while not state["done"] and guard < 50:
+        env.step(state, env.teacher_action(state))
+        guard += 1
+    m = env.metrics(state)
+    assert m["ndtw"] > 0.99, m
+    assert m["sdtw"] > 0.99, m
+    assert m["cls"] > 0.99, m
+
+    # a wandering trajectory: visit every discovered node before the goal
+    state = env.reset(idx)
+    guard = 0
+    while not state["done"] and guard < 30:
+        teacher = env.teacher_action(state)
+        # detour: go to the highest unexplored slot instead, twice
+        valid = [s + 1 for v, s in state["slot_of"].items()
+                 if v != state["cur"]]
+        action = valid[-1] if guard < 2 and len(valid) > 1 else teacher
+        env.step(state, action)
+        guard += 1
+    m2 = env.metrics(state)
+    assert m2["ndtw"] < m["ndtw"], (m2, m)
+    assert m2["cls"] < m["cls"], (m2, m)
+    assert 0.0 <= m2["ndtw"] <= 1.0 and 0.0 <= m2["cls"] <= 1.0

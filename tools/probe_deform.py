@@ -80,6 +80,13 @@ def main():
                                                              h * w)
                     out = jnp.einsum("bhqs,bhsd->bhqd", A.astype(cdt), V,
                                      preferred_element_type=jnp.float32)
+                elif variant == "pallas":
+                    from vln_ver_tpu.ops.pallas_deform import \
+                        ms_deform_attn_2d_pallas
+                    loc = LOC + carry.astype(jnp.float32) * 0
+                    out = ms_deform_attn_2d_pallas(
+                        VAL, ((h, w),), loc,
+                        W.astype(jnp.float32).reshape(bs, nq, H, 1, P))
                 elif variant == "op":
                     # the full production op incl. X/Y construction
                     from vln_ver_tpu.ops.deform_attn import \

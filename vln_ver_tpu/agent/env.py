@@ -190,9 +190,39 @@ class R2REnv:
         spl = success * gt_len / max(state["length"], gt_len, 1e-6)
         oracle = min(
             graph.distance(v, state["goal"]) for v in state["traj"])
+        traj = np.stack([graph.positions[v] for v in state["traj"]])
+        ref = np.stack([graph.positions[v] for v in ep["path"]])
+        ndtw = self._ndtw(traj, ref)
         return dict(nav_error=err, success=success, spl=spl,
                     oracle_success=float(oracle < self.success_radius),
-                    traj_length=state["length"])
+                    traj_length=state["length"],
+                    ndtw=ndtw, sdtw=success * ndtw,
+                    cls=self._cls(traj, ref, state["length"], gt_len))
+
+    # -- path-fidelity metrics (R4R headline numbers) -------------------
+    def _ndtw(self, traj: np.ndarray, ref: np.ndarray) -> float:
+        """Normalised dynamic time warping (Ilharco et al. 2019):
+        exp(-DTW(traj, ref) / (|ref| * d_th))."""
+        n, m = len(traj), len(ref)
+        d = np.linalg.norm(traj[:, None, :] - ref[None, :, :], axis=-1)
+        acc = np.full((n + 1, m + 1), np.inf)
+        acc[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                acc[i, j] = d[i - 1, j - 1] + min(
+                    acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
+        return float(np.exp(-acc[n, m] / (m * self.success_radius)))
+
+    def _cls(self, traj: np.ndarray, ref: np.ndarray,
+             pl: float, gt_len: float) -> float:
+        """Coverage weighted by Length Score (Jain et al. 2019):
+        PC = mean_r exp(-d(r, traj)/d_th); EPL = PC * ref_length;
+        CLS = PC * EPL / (EPL + |EPL - PL|)."""
+        d = np.linalg.norm(ref[:, None, :] - traj[None, :, :], axis=-1)
+        pc = float(np.mean(np.exp(-d.min(axis=1) / self.success_radius)))
+        epl = pc * gt_len
+        denom = epl + abs(epl - pl)
+        return pc * (epl / denom if denom > 1e-6 else 1.0)
 
 
 def make_synthetic_vln(root: str, num_scans: int = 2, nodes_per_scan: int = 9,

@@ -135,9 +135,10 @@ class CamDeformableAttention(nn.Module):
 
         if self.deform_impl == "pallas":
             from ..ops.pallas_deform import ms_deform_attn_2d_pallas
+            # compute-dtype values: bf16 rides the MXU fast path inside
+            # the kernel; fp32 keeps the HIGHEST-precision exact path
             out = ms_deform_attn_2d_pallas(
-                value.astype(jnp.float32), spatial_shapes, locations,
-                attn)
+                value.astype(self.dtype), spatial_shapes, locations, attn)
         elif self.deform_impl == "onehot":
             from ..ops.deform_attn import ms_deform_attn_2d_onehot
             # bf16-capable MXU path: values/interp matrices in compute

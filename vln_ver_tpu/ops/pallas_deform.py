@@ -51,6 +51,7 @@ def _kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, num_heads,
     sy = s // W                    # flat-index row coordinate
     sx = s - sy * W                # flat-index col coordinate
 
+    vdt = value_ref.dtype
     for h in range(num_heads):
         acc = None
         for p in range(num_points):
@@ -69,12 +70,20 @@ def _kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, num_heads,
             contrib = wgt * xs * ys
             acc = contrib if acc is None else acc + contrib
         v_h = value_ref[0, :, h * head_dim:(h + 1) * head_dim]
-        # HIGHEST precision: the MXU's default fast path multiplies in
-        # bf16 (~1e-2 error on fp32 inputs, measured on hardware)
-        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = jax.lax.dot(
-            acc, v_h.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        if vdt == jnp.float32:
+            # HIGHEST precision: the MXU's default fast path multiplies
+            # fp32 in bf16 (~1e-2 error on fp32 inputs, measured on chip)
+            out = jax.lax.dot(acc, v_h,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+        else:
+            # bf16 values: single MXU pass, fp32 accumulation; the
+            # interpolation matrix follows the value dtype (same policy
+            # as the one-hot path)
+            out = jax.lax.dot(acc.astype(vdt), v_h,
+                              preferred_element_type=jnp.float32)
+        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = out.astype(
+            out_ref.dtype)
 
 
 _TQ = 256  # query-tile size: keeps per-program VMEM well under the limit
@@ -91,7 +100,7 @@ def _pallas_forward(value, spatial_shapes, sampling_locations,
         bs, nq, num_heads * 1 * num_points * 2).astype(jnp.float32)
     wgt = attention_weights.reshape(
         bs, nq, num_heads * num_points).astype(jnp.float32)
-    val = value.reshape(bs, hw, num_heads * head_dim)
+    val = value.reshape(bs, hw, num_heads * head_dim)  # keeps value dtype
 
     # pad queries to a multiple of the tile
     nq_pad = -(-nq // _TQ) * _TQ
@@ -117,7 +126,7 @@ def _pallas_forward(value, spatial_shapes, sampling_locations,
                                lambda b, q: (b, q, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bs, nq_pad, num_heads * head_dim),
-                                       jnp.float32),
+                                       value.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * bs * num_heads * nq_pad * hw * head_dim
             + 8 * bs * num_heads * num_points * nq_pad * hw,
