@@ -170,3 +170,64 @@ def test_path_fidelity_metrics(tmp_path):
     assert m2["ndtw"] < m["ndtw"], (m2, m)
     assert m2["cls"] < m["cls"], (m2, m)
     assert 0.0 <= m2["ndtw"] <= 1.0 and 0.0 <= m2["cls"] <= 1.0
+
+
+def test_reverie_grounding(tmp_path):
+    """REVERIE support: candidate objects in observations, grounding head
+    logits, RGS/RGSPL metrics, and the grounding CE in the imitation loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from vln_ver_tpu.agent.policy import VLNPolicy
+    from vln_ver_tpu.agent.rollout import imitation_step_loss, run_episode
+
+    episodes, graphs, ver, objects = make_synthetic_vln(
+        str(tmp_path), num_scans=1, nodes_per_scan=9, num_episodes=4,
+        bev_num=BEV_NUM, embed_dims=CFG.embed_dims,
+        max_text_len=CFG.max_text_len, with_objects=True)
+    assert all("objId" in e for e in episodes)
+    env = R2REnv(episodes, graphs, ver, max_nodes=CFG.max_nodes,
+                 objects=objects)
+    obs = env.observe(env.reset(0))
+    assert obs["obj_feats"].shape == (env.max_objects, CFG.embed_dims)
+    assert obs["obj_valid"][:4].all()
+
+    policy = VLNPolicy(CFG)
+    mem = init_memory(1, CFG.max_nodes, CFG.embed_dims)
+    params = policy.init(
+        jax.random.PRNGKey(0), jnp.asarray(obs["instruction"])[None],
+        jnp.asarray(obs["instruction"])[None] > 0,
+        jnp.asarray(obs["volume"])[None], mem,
+        jnp.asarray(obs["cur_pos"])[None],
+        jnp.asarray(obs["cur_slot"])[None],
+        obj_feats=jnp.asarray(obs["obj_feats"])[None],
+        obj_valid=jnp.asarray(obs["obj_valid"])[None])
+
+    m, trace = run_episode(policy, params, env, 0, CFG, greedy=True,
+                           collect_teacher=True)
+    assert "rgs" in m and "rgspl" in m
+    assert 0.0 <= m["rgs"] <= 1.0 and m["rgspl"] <= m["rgs"] + 1e-9
+
+    # grounding loss: a step at the goal viewpoint has gt_obj >= 0
+    rec = trace[-1]
+    batch = dict(
+        instruction=jnp.asarray(rec["obs"]["instruction"])[None],
+        volume=jnp.asarray(rec["obs"]["volume"])[None],
+        memory=rec["memory"],
+        cur_pos=jnp.asarray(rec["obs"]["cur_pos"])[None],
+        cur_slot=jnp.asarray(rec["obs"]["cur_slot"])[None],
+        teacher=jnp.asarray([rec["teacher"]], jnp.int32),
+        obj_feats=jnp.asarray(rec["obs"]["obj_feats"])[None],
+        obj_valid=jnp.asarray(rec["obs"]["obj_valid"])[None],
+        gt_obj=jnp.asarray([rec["obs"]["gt_obj"]], jnp.int32))
+    loss, aux = imitation_step_loss(policy, params, batch)
+    assert np.isfinite(float(loss))
+    assert "ground_nll" in aux
+    grads = jax.grad(lambda p: imitation_step_loss(policy, p, batch)[0])(
+        params)
+    gp = grads["params"]["ground_proj"]["kernel"]
+    # the goal-viewpoint step must drive grounding gradients (teacher path
+    # ends at the goal, where gt_obj >= 0)
+    goal_steps = [r for r in trace if int(r["obs"]["gt_obj"]) >= 0]
+    if goal_steps:
+        assert int(rec["obs"]["gt_obj"]) < 0 or np.any(np.asarray(gp))

@@ -80,6 +80,17 @@ def main():
                                                              h * w)
                     out = jnp.einsum("bhqs,bhsd->bhqd", A.astype(cdt), V,
                                      preferred_element_type=jnp.float32)
+                elif variant == "fusedT":
+                    # transpose-free: A stays (b,q,h,s); dot_general
+                    # batches (b,h) directly; output already (b,q,h,d)
+                    acc = 0.0
+                    for pp in range(P):
+                        wy = (W[..., pp, None] * Y[..., pp, :]).astype(cdt)
+                        acc = acc + (wy[..., :, None]
+                                     * Xc[..., pp, None, :])
+                    A = acc.reshape(bs, nq, H, h * w)
+                    out = jnp.einsum("bqhs,bhsd->bqhd", A.astype(cdt), V,
+                                     preferred_element_type=jnp.float32)
                 elif variant == "pallas":
                     from vln_ver_tpu.ops.pallas_deform import \
                         ms_deform_attn_2d_pallas

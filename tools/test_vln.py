@@ -26,7 +26,10 @@ def parse_args():
     p.add_argument("--connectivity", default=None)
     p.add_argument("--ver", default=None)
     p.add_argument("--split", default="val_unseen")
-    p.add_argument("--benchmark", default="R2R")
+    p.add_argument("--benchmark", default="R2R",
+                   choices=["R2R", "R4R", "REVERIE"])
+    p.add_argument("--objects", default=None,
+                   help="REVERIE candidate-objects pkl, or 'synthetic'")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--embed-dims", type=int, default=None)
     p.add_argument("--work-dir", default="work_dirs/vln")
@@ -51,11 +54,17 @@ def main():
                            text_layers=2, ffn_dim=2 * dims, vocab_size=128,
                            max_text_len=16, max_nodes=16, bev_z=2,
                            bev_h=4, bev_w=4, num_query_tokens=4)
-        episodes, graphs, ver = make_synthetic_vln(
+        objects = None
+        made = make_synthetic_vln(
             os.path.join(args.work_dir, "synvln"), num_scans=2,
             nodes_per_scan=9, num_episodes=16,
             bev_num=cfg.bev_z * cfg.bev_h * cfg.bev_w,
-            embed_dims=dims, max_text_len=cfg.max_text_len)
+            embed_dims=dims, max_text_len=cfg.max_text_len,
+            with_objects=args.objects == "synthetic")
+        if args.objects == "synthetic":
+            episodes, graphs, ver, objects = made
+        else:
+            episodes, graphs, ver = made
     else:
         from vln_ver_tpu.agent.data import (load_graphs, load_r2r_split,
                                             load_ver_features)
@@ -66,8 +75,14 @@ def main():
         graphs = load_graphs(args.connectivity,
                              [e["scan"] for e in episodes])
         ver = load_ver_features(args.ver)
+        objects = None
+        if args.objects and args.objects != "synthetic":
+            import pickle
+            with open(args.objects, "rb") as f:
+                objects = pickle.load(f)
 
-    env = R2REnv(episodes, graphs, ver, max_nodes=cfg.max_nodes)
+    env = R2REnv(episodes, graphs, ver, max_nodes=cfg.max_nodes,
+                 objects=objects)
     policy = VLNPolicy(cfg)
     obs = env.observe(env.reset(0))
     mem = init_memory(1, cfg.max_nodes, cfg.embed_dims)
@@ -76,7 +91,10 @@ def main():
         jnp.asarray(obs["instruction"])[None] > 0,
         jnp.asarray(obs["volume"])[None], mem,
         jnp.asarray(obs["cur_pos"])[None],
-        jnp.asarray(obs["cur_slot"])[None])
+        jnp.asarray(obs["cur_slot"])[None],
+        **(dict(obj_feats=jnp.asarray(obs["obj_feats"])[None],
+                obj_valid=jnp.asarray(obs["obj_valid"])[None])
+           if objects is not None else {}))
     step = latest_step(args.checkpoint)
     if step is None:
         raise FileNotFoundError(f"no ckpt under {args.checkpoint}")

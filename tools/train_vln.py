@@ -30,6 +30,13 @@ def parse_args():
     p.add_argument("--data-dir", default=None)
     p.add_argument("--connectivity", default=None)
     p.add_argument("--ver", default=None, help="VER hdf5 from get_occ")
+    p.add_argument("--benchmark", default="R2R",
+                   choices=["R2R", "R4R", "REVERIE"])
+    p.add_argument("--objects", default=None,
+                   help="REVERIE candidate objects pkl: "
+                        "{token: {'ids': [...], 'feats': (N, C)}}; with "
+                        "--synthetic, pass 'synthetic' to rehearse "
+                        "grounding")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--eval-interval", type=int, default=100)
@@ -87,10 +94,16 @@ def main():
                            max_text_len=16, max_nodes=16, bev_z=2,
                            bev_h=4, bev_w=4, num_query_tokens=4)
         bev_num = cfg.bev_z * cfg.bev_h * cfg.bev_w
-        episodes, graphs, ver = make_synthetic_vln(
+        objects = None
+        made = make_synthetic_vln(
             os.path.join(args.work_dir, "synvln"), num_scans=2,
             nodes_per_scan=9, num_episodes=16, bev_num=bev_num,
-            embed_dims=dims, max_text_len=cfg.max_text_len)
+            embed_dims=dims, max_text_len=cfg.max_text_len,
+            with_objects=args.objects == "synthetic")
+        if args.objects == "synthetic":
+            episodes, graphs, ver, objects = made
+        else:
+            episodes, graphs, ver = made
     else:
         from vln_ver_tpu.agent.data import (WordPieceVocab, load_graphs,
                                             load_r2r_split,
@@ -98,11 +111,17 @@ def main():
         dims = args.embed_dims or 768
         vocab0 = (WordPieceVocab(args.bert_vocab)
                   if args.bert_vocab else None)
-        episodes, vocab = load_r2r_split(args.data_dir, "train", vocab0, 80)
+        episodes, vocab = load_r2r_split(args.data_dir, "train", vocab0,
+                                         80, prefix=args.benchmark)
         cfg = PolicyConfig(embed_dims=dims, vocab_size=len(vocab))
         graphs = load_graphs(args.connectivity,
                              [e["scan"] for e in episodes])
         ver = load_ver_features(args.ver)
+        objects = None
+        if args.objects and args.objects != "synthetic":
+            import pickle
+            with open(args.objects, "rb") as f:
+                objects = pickle.load(f)
 
     if args.text_init:
         import dataclasses as _dc
@@ -112,18 +131,24 @@ def main():
               f"hidden {overrides['embed_dims']}, "
               f"vocab {overrides['vocab_size']}")
 
-    env = R2REnv(episodes, graphs, ver, max_nodes=cfg.max_nodes)
+    env = R2REnv(episodes, graphs, ver, max_nodes=cfg.max_nodes,
+                 objects=objects)
     policy = VLNPolicy(cfg)
 
     obs = env.observe(env.reset(0))
     mem0 = init_memory(1, cfg.max_nodes, cfg.embed_dims)
+    init_obj_kw = {}
+    if objects is not None:
+        init_obj_kw = dict(
+            obj_feats=jnp.asarray(obs["obj_feats"])[None],
+            obj_valid=jnp.asarray(obs["obj_valid"])[None])
     params = policy.init(
         jax.random.PRNGKey(args.seed),
         jnp.asarray(obs["instruction"])[None],
         jnp.asarray(obs["instruction"])[None] > 0,
         jnp.asarray(obs["volume"])[None], mem0,
         jnp.asarray(obs["cur_pos"])[None],
-        jnp.asarray(obs["cur_slot"])[None])
+        jnp.asarray(obs["cur_slot"])[None], **init_obj_kw)
     if args.text_init:
         import flax.core
         params = flax.core.unfreeze(params)
@@ -165,6 +190,10 @@ def main():
                 cur_pos=jnp.asarray(obs["cur_pos"])[None],
                 cur_slot=jnp.asarray(obs["cur_slot"])[None],
                 teacher=jnp.asarray([rec["teacher"]], jnp.int32))
+            if "obj_feats" in obs:
+                batch["obj_feats"] = jnp.asarray(obs["obj_feats"])[None]
+                batch["obj_valid"] = jnp.asarray(obs["obj_valid"])[None]
+                batch["gt_obj"] = jnp.asarray([obs["gt_obj"]], jnp.int32)
             params, opt_state, loss, aux = update(params, opt_state, batch)
             losses.append(float(loss))
             step += 1

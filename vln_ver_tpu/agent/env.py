@@ -81,12 +81,18 @@ class R2REnv:
 
     def __init__(self, episodes: List[Dict], graphs: Dict[str, NavGraph],
                  ver_features: Dict[str, np.ndarray],
-                 max_nodes: int = 32, success_radius: float = 3.0):
+                 max_nodes: int = 32, success_radius: float = 3.0,
+                 objects: Optional[Dict[str, Dict]] = None,
+                 max_objects: int = 8):
+        """``objects`` (REVERIE): token -> {"ids": [objId, ...],
+        "feats": (N, C) float32} candidate objects per viewpoint."""
         self.episodes = episodes
         self.graphs = graphs
         self.ver = ver_features
         self.max_nodes = max_nodes
         self.success_radius = success_radius
+        self.objects = objects
+        self.max_objects = max_objects
 
     # -- helpers -------------------------------------------------------
     def _slot(self, state, vp: str) -> int:
@@ -129,13 +135,34 @@ class R2REnv:
         for vp, s in state["slot_of"].items():
             node_pos[s] = graph.positions[vp]
             node_valid[s] = True
-        return dict(
+        obs = dict(
             volume=volume.astype(np.float32),
             cur_pos=graph.positions[cur].astype(np.float32),
             cur_slot=np.int32(state["slot_of"][cur]),
             node_pos=node_pos, node_valid=node_valid,
             instruction=ep["instruction_tokens"],
         )
+        if self.objects is not None:
+            c = next(iter(self.ver.values())).shape[-1]
+            feats = np.zeros((self.max_objects, c), np.float32)
+            valid = np.zeros((self.max_objects,), bool)
+            entry = self.objects.get(token)
+            if entry is not None:
+                k = min(len(entry["ids"]), self.max_objects)
+                feats[:k] = entry["feats"][:k]
+                valid[:k] = True
+            obs["obj_feats"] = feats
+            obs["obj_valid"] = valid
+            # teacher grounding label: index of the episode's objId among
+            # this viewpoint's candidates, -1 if absent
+            gt = -1
+            obj_id = ep.get("objId")
+            if obj_id is not None and entry is not None:
+                ids = list(entry["ids"])[:self.max_objects]
+                if obj_id in ids:
+                    gt = ids.index(obj_id)
+            obs["gt_obj"] = np.int32(gt)
+        return obs
 
     def teacher_action(self, state) -> int:
         """0 = stop, 1+slot = go to that node: the discovered node that
@@ -193,11 +220,20 @@ class R2REnv:
         traj = np.stack([graph.positions[v] for v in state["traj"]])
         ref = np.stack([graph.positions[v] for v in ep["path"]])
         ndtw = self._ndtw(traj, ref)
-        return dict(nav_error=err, success=success, spl=spl,
-                    oracle_success=float(oracle < self.success_radius),
-                    traj_length=state["length"],
-                    ndtw=ndtw, sdtw=success * ndtw,
-                    cls=self._cls(traj, ref, state["length"], gt_len))
+        out = dict(nav_error=err, success=success, spl=spl,
+                   oracle_success=float(oracle < self.success_radius),
+                   traj_length=state["length"],
+                   ndtw=ndtw, sdtw=success * ndtw,
+                   cls=self._cls(traj, ref, state["length"], gt_len))
+        if ep.get("objId") is not None and self.objects is not None:
+            # REVERIE remote grounding: correct object picked at a
+            # successful stop; RGSPL length-weights it like SPL
+            rgs = success * float(
+                state.get("pred_obj_id") == ep["objId"])
+            out["rgs"] = rgs
+            out["rgspl"] = rgs * gt_len / max(state["length"], gt_len,
+                                              1e-6)
+        return out
 
     # -- path-fidelity metrics (R4R headline numbers) -------------------
     def _ndtw(self, traj: np.ndarray, ref: np.ndarray) -> float:
@@ -228,9 +264,14 @@ class R2REnv:
 def make_synthetic_vln(root: str, num_scans: int = 2, nodes_per_scan: int = 9,
                        num_episodes: int = 8, bev_num: int = 900,
                        embed_dims: int = 768, vocab: int = 100,
-                       max_text_len: int = 16, seed: int = 0):
+                       max_text_len: int = 16, seed: int = 0,
+                       with_objects: bool = False, num_objects: int = 4):
     """Grid-graph scans + random VER features + shortest-path episodes, in
-    the R2R on-disk format. Returns (episodes, graphs, ver_features)."""
+    the R2R on-disk format. Returns (episodes, graphs, ver_features); with
+    ``with_objects`` (REVERIE rehearsal) returns a 4th element: token ->
+    {"ids", "feats"} candidates, the episode's target object living at the
+    goal viewpoint with its feature keyed to instruction token 0 (so
+    grounding is learnable from the instruction)."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     graphs, ver = {}, {}
@@ -258,6 +299,18 @@ def make_synthetic_vln(root: str, num_scans: int = 2, nodes_per_scan: int = 9,
             ver[f"{scan}_{vp}"] = rng.standard_normal(
                 (bev_num, embed_dims)).astype(np.float32)
 
+    objects = None
+    signal = None
+    if with_objects:
+        objects = {}
+        signal = rng.standard_normal((vocab, embed_dims)).astype(
+            np.float32)
+        for token in ver:
+            ids = [f"{token}_o{i}" for i in range(num_objects)]
+            feats = rng.standard_normal(
+                (num_objects, embed_dims)).astype(np.float32)
+            objects[token] = {"ids": ids, "feats": feats}
+
     episodes = []
     for e in range(num_episodes):
         scan = f"syn{e % num_scans:02d}"
@@ -275,7 +328,18 @@ def make_synthetic_vln(root: str, num_scans: int = 2, nodes_per_scan: int = 9,
         toks = np.zeros((max_text_len,), np.int32)
         ntok = int(rng.integers(4, max_text_len))
         toks[:ntok] = rng.integers(1, vocab, ntok)
-        episodes.append(dict(scan=scan, path=path, heading=0.0,
-                             instruction_tokens=toks,
-                             instructions=["synthetic"]))
+        ep = dict(scan=scan, path=path, heading=0.0,
+                  instruction_tokens=toks,
+                  instructions=["synthetic"])
+        if with_objects:
+            token = f"{scan}_{goal}"
+            tgt = int(rng.integers(num_objects))
+            ep["objId"] = objects[token]["ids"][tgt]
+            # key the target object's appearance to instruction token 0
+            objects[token]["feats"][tgt] = (
+                objects[token]["feats"][tgt] * 0.1
+                + 2.0 * signal[toks[0] % vocab])
+        episodes.append(ep)
+    if with_objects:
+        return episodes, graphs, ver, objects
     return episodes, graphs, ver

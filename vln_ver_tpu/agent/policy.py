@@ -53,6 +53,9 @@ class PolicyOutput(NamedTuple):
     logits: jnp.ndarray       # (B, 1 + max_nodes): [stop, nodes...]
     state_pred: jnp.ndarray   # (B, 5) volume state estimation
     text_feats: jnp.ndarray   # (B, L, C) (reusable across steps)
+    # REVERIE object grounding scores (B, max_objects); None when the
+    # step was called without candidate objects
+    obj_logits: Optional[jnp.ndarray] = None
 
 
 class _FusionBlock(nn.Module):
@@ -126,6 +129,10 @@ class VLNPolicy(nn.Module):
                                        name="local_ctx_proj")
         self.score_head = nn.Dense(1, dtype=jnp.float32, name="score_head")
         self.fuse_gate = nn.Dense(1, dtype=jnp.float32, name="fuse_gate")
+        # REVERIE grounding: instruction-conditioned local context scores
+        # candidate objects at the stop viewpoint (RGS metric)
+        self.ground_proj = nn.Dense(cfg.embed_dims, dtype=cfg.dtype,
+                                    name="ground_proj")
 
     def encode_text(self, tokens, text_mask, deterministic: bool = True):
         return self.text_encoder(tokens, text_mask,
@@ -134,12 +141,16 @@ class VLNPolicy(nn.Module):
     def __call__(self, tokens, text_mask, volume, memory: EpisodicMemory,
                  cur_pos, cur_node_idx,
                  text_feats: Optional[jnp.ndarray] = None,
+                 obj_feats: Optional[jnp.ndarray] = None,
+                 obj_valid: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> PolicyOutput:
         """One decision step.
 
         tokens (B, L) int32 / text_mask (B, L); volume (B, bev_num, C) —
         the current viewpoint's VER; memory — episodic map; cur_pos (B, 3);
-        cur_node_idx (B,) slot of the current node.
+        cur_node_idx (B,) slot of the current node; obj_feats
+        (B, max_objects, C) + obj_valid (B, max_objects) — candidate
+        objects at the current viewpoint (REVERIE grounding).
         """
         cfg = self.cfg
         b = tokens.shape[0]
@@ -175,6 +186,18 @@ class VLNPolicy(nn.Module):
             x = blk(x, xmask, text_feats, text_mask,
                     deterministic=deterministic)
 
+        obj_logits = None
+        if obj_feats is not None:
+            # dot-product grounding: the instruction-grounded local context
+            # against each candidate object's feature
+            g = self.ground_proj(local_ctx)              # (B, C)
+            obj_logits = jnp.einsum(
+                "bc,boc->bo", g.astype(jnp.float32),
+                obj_feats.astype(jnp.float32))
+            obj_logits = obj_logits / jnp.sqrt(float(cfg.embed_dims))
+            if obj_valid is not None:
+                obj_logits = jnp.where(obj_valid, obj_logits, -1e9)
+
         logits = self.score_head(x).squeeze(-1)          # (B, 1+N)
         # action mask: stop always allowed; nodes must exist and not be the
         # current node (DUET global action space)
@@ -183,4 +206,4 @@ class VLNPolicy(nn.Module):
             .astype(bool))
         ok = jnp.concatenate([jnp.ones((b, 1), bool), node_ok], axis=1)
         logits = jnp.where(ok, logits, -1e9)
-        return PolicyOutput(logits, state_pred, text_feats)
+        return PolicyOutput(logits, state_pred, text_feats, obj_logits)

@@ -66,9 +66,14 @@ def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
                     jnp.asarray(obs["node_pos"][slot])[None],
                     jnp.asarray([False]))
 
+        obj_kw = {}
+        if "obj_feats" in obs:
+            obj_kw = dict(obj_feats=b["obj_feats"],
+                          obj_valid=b["obj_valid"])
         out = step_fn(params, b["instruction"],
                       b["instruction"] > 0, b["volume"], mem,
-                      b["cur_pos"], b["cur_slot"], text_feats=text_feats)
+                      b["cur_pos"], b["cur_slot"], text_feats=text_feats,
+                      **obj_kw)
         text_feats = out.text_feats
         teacher = env.teacher_action(state)
         if collect_teacher:
@@ -79,6 +84,13 @@ def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
         else:
             rng, sub = jax.random.split(rng)
             action = int(jax.random.categorical(sub, out.logits[0]))
+        if action == 0 and out.obj_logits is not None:
+            # REVERIE: ground the referred object at the stop viewpoint
+            pred = int(jnp.argmax(out.obj_logits[0]))
+            token = f"{state['ep']['scan']}_{state['cur']}"
+            entry = (env.objects or {}).get(token)
+            if entry is not None and pred < len(entry["ids"]):
+                state["pred_obj_id"] = entry["ids"][pred]
         env.step(state, action)
     return env.metrics(state), trace
 
@@ -101,14 +113,28 @@ def imitation_step_loss(policy: VLNPolicy, params, batch,
     batch: instruction (B, L), volume (B, nvox, C), memory (EpisodicMemory),
     cur_pos (B,3), cur_slot (B,), teacher (B,) int32.
     """
+    obj_kw = {}
+    if "obj_feats" in batch:
+        obj_kw = dict(obj_feats=batch["obj_feats"],
+                      obj_valid=batch["obj_valid"])
     out = policy.apply(params, batch["instruction"],
                        batch["instruction"] > 0, batch["volume"],
                        batch["memory"], batch["cur_pos"],
-                       batch["cur_slot"])
+                       batch["cur_slot"], **obj_kw)
     logp = jax.nn.log_softmax(out.logits, axis=-1)
     nll = -jnp.take_along_axis(logp, batch["teacher"][:, None],
                                axis=1).mean()
     aux = 0.0
     if state_targets is not None:
         aux = jnp.mean((out.state_pred - state_targets) ** 2)
-    return nll + 0.5 * aux, dict(action_nll=nll, state_mse=aux)
+    ground = 0.0
+    if out.obj_logits is not None and "gt_obj" in batch:
+        # grounding CE on steps whose viewpoint holds the target object
+        has = batch["gt_obj"] >= 0
+        glogp = jax.nn.log_softmax(out.obj_logits, axis=-1)
+        picked = jnp.take_along_axis(
+            glogp, jnp.maximum(batch["gt_obj"], 0)[:, None], axis=1)[:, 0]
+        ground = -jnp.sum(jnp.where(has, picked, 0.0)) / jnp.maximum(
+            jnp.sum(has), 1)
+    return (nll + 0.5 * aux + ground,
+            dict(action_nll=nll, state_mse=aux, ground_nll=ground))

@@ -49,7 +49,7 @@ def ms_deform_attn_2d_onehot(value: jnp.ndarray,
         starts.append(s)
         s += h * w
 
-    out = jnp.zeros((bs, num_heads, num_query, head_dim), value.dtype)
+    out = jnp.zeros((bs, num_query, num_heads, head_dim), value.dtype)
     for lvl, (h, w) in enumerate(spatial_shapes):
         vl = value[:, starts[lvl]:starts[lvl] + h * w]      # (bs, hw, H, d)
         vl = vl.transpose(0, 2, 1, 3)                        # (bs, H, hw, d)
@@ -68,7 +68,7 @@ def ms_deform_attn_2d_onehot(value: jnp.ndarray,
         Y = ((iy == y0[..., None]) * (1 - ay)
              + (iy == y0[..., None] + 1) * ay)               # (bs,nq,H,P,h)
         wgt = attention_weights[:, :, :, lvl]                # (bs,nq,H,P)
-        # A[b,H,q,y,x] = sum_p w * Y * X  -> then contract (y,x) with V.
+        # A[b,q,H,y,x] = sum_p w * Y * X  -> then contract (y,x) with V.
         # Interpolation matrices follow the value dtype (bf16 halves the
         # dominant A-matrix bandwidth; coefficient rounding ~0.4% == a
         # few-millipixel sampling perturbation).
@@ -80,20 +80,20 @@ def ms_deform_attn_2d_onehot(value: jnp.ndarray,
                 else jax.lax.Precision.DEFAULT)
         # Per-point fused accumulation: a 3-operand einsum over p lowers to
         # ~1M tiny (y,p)@(p,x) matmuls on TPU (24 ms at full encoder shape
-        # vs 7.8 ms for this loop, tools/probe_deform.py) — the unrolled
-        # outer-product sum fuses into one elementwise kernel instead.
+        # vs 7.3 ms for this loop, tools/probe_deform.py) — the unrolled
+        # outer-product sum fuses elementwise instead.  A stays in the
+        # (b, q, h, s) layout end-to-end: the matmul batches (b, h)
+        # directly and the output needs no transposes.
         wy = (wgt[..., None] * Y).astype(cdt)            # (bs,nq,H,P,y)
         Xc = X.astype(cdt)
         A = sum(wy[..., p, :, None] * Xc[..., p, None, :]
                 for p in range(num_points))              # (bs,nq,H,y,x)
-        A = A.transpose(0, 2, 1, 3, 4).reshape(bs, num_heads, num_query,
-                                               h * w)
-        out = out + jnp.einsum("bhqs,bhsd->bhqd", A, vl.astype(cdt),
+        A = A.reshape(bs, num_query, num_heads, h * w)
+        out = out + jnp.einsum("bqhs,bhsd->bqhd", A, vl.astype(cdt),
                                precision=prec,
                                preferred_element_type=jnp.float32
                                ).astype(value.dtype)
-    return out.transpose(0, 2, 1, 3).reshape(bs, num_query,
-                                             num_heads * head_dim)
+    return out.reshape(bs, num_query, num_heads * head_dim)
 
 
 def ms_deform_attn_2d(value: jnp.ndarray,
