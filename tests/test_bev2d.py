@@ -140,3 +140,48 @@ def test_bevformer2d_forward_and_grads():
     zero = [jax.tree_util.keystr(k) for k, g in flat
             if not np.any(np.asarray(g))]
     assert not zero, zero
+
+
+def test_nuscenes_adapter_feeds_bev2d(tmp_path):
+    """nuScenes-format adapter -> BEVFormer2D, incl. the temporal chain
+    (prev_index) and can-bus conditioning."""
+    from vln_ver_tpu.data.nuscenes import (NuScenesAdapter, collate,
+                                           make_synthetic_nuscenes)
+
+    cfg = TINY
+    ann = make_synthetic_nuscenes(
+        str(tmp_path), num_scenes=1, samples_per_scene=3,
+        num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
+        feat_dim=cfg.in_channels)
+    ds = NuScenesAdapter(ann, str(tmp_path), num_cams=cfg.num_cams,
+                         feat_hw=cfg.feat_h, max_gt=8)
+    assert len(ds) == 3
+    assert ds.prev_index(0) is None and ds.prev_index(1) == 0
+
+    batch = collate([ds[1], ds[2]])
+    assert batch["features"].shape == (2, cfg.num_cams, cfg.feat_h,
+                                       cfg.feat_w, cfg.in_channels)
+    assert batch["can_bus"].shape == (2, 18)
+
+    model = BEVFormer2D(cfg, num_classes=10)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["features"]),
+                        jnp.asarray(batch["world2pixel"]),
+                        jnp.asarray(batch["origin_shift"]),
+                        can_bus=jnp.asarray(batch["can_bus"]))
+    # temporal: prev frame's BEV feeds the current step
+    prev_batch = collate([ds[0], ds[1]])
+    prev = model.apply(params, jnp.asarray(prev_batch["features"]),
+                       jnp.asarray(prev_batch["world2pixel"]),
+                       jnp.asarray(prev_batch["origin_shift"]),
+                       can_bus=jnp.asarray(prev_batch["can_bus"]),
+                       only_bev=True)
+    outs = model.apply(params, jnp.asarray(batch["features"]),
+                       jnp.asarray(batch["world2pixel"]),
+                       jnp.asarray(batch["origin_shift"]),
+                       can_bus=jnp.asarray(batch["can_bus"]),
+                       prev_bev=prev)
+    assert outs["all_bbox_preds"].shape == (cfg.decoder_layers, 2,
+                                            cfg.num_query, 10)
+    for v in jax.tree.leaves(outs):
+        assert np.all(np.isfinite(np.asarray(v)))

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Training-step throughput on one chip (scan-differenced, device-honest).
+
+Scans the FULL jitted train step (forward + in-graph auction matching +
+losses + backward + AdamW) over synthetic full-size inputs and reports
+steps/s and samples/s — the training-side companion to bench.py
+(reference recipe: 500 epochs, batch 1/GPU x 4 GPUs, vocc.py:221-284).
+
+Usage: python tools/bench_train.py [--cams 36] [--batch 2] [--iters 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cams", type=int, default=36)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--max-gt", type=int, default=16)
+    args = p.parse_args()
+
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_inputs
+    from vln_ver_tpu.models import VERConfig, VoxelFormer
+    from vln_ver_tpu.train import (TrainConfig, create_train_state,
+                                   make_train_step)
+
+    b = args.batch
+    cfg = VERConfig(num_cams=args.cams, dtype=jnp.bfloat16)
+    model = VoxelFormer(cfg)
+    rng = np.random.default_rng(0)
+    feats, w2p, shift = _example_inputs(cfg, batch=b)
+    gt_boxes = np.zeros((b, args.max_gt, 9), np.float32)
+    gt_boxes[:, :, 3:6] = 1.0
+    gt_boxes[:, :, 0:2] = rng.uniform(-4, 4, (b, args.max_gt, 2))
+    batch = {
+        "features": jnp.asarray(feats),
+        "world2pixel": jnp.asarray(w2p),
+        "origin_shift": jnp.asarray(shift),
+        "gt_boxes": jnp.asarray(gt_boxes),
+        "gt_labels": jnp.asarray(rng.integers(
+            0, cfg.num_classes, (b, args.max_gt)).astype(np.int32)),
+        "gt_valid": jnp.asarray(
+            rng.uniform(size=(b, args.max_gt)) < 0.6),
+        "occ_dense": jnp.asarray(rng.integers(
+            0, cfg.occupancy_classes + 1,
+            (b, cfg.voxel_num)).astype(np.int32)),
+    }
+    params = model.init(jax.random.PRNGKey(0), feats[:1], w2p[:1],
+                        shift[:1])
+    tc = TrainConfig(warmup_steps=10, total_steps=1000)
+    state0 = create_train_state(model, params, tc)
+    step = make_train_step(cfg, tc, donate=False)
+
+    def scan_steps(n):
+        @jax.jit
+        def fn(state, batch, rng):
+            def body(carry, i):
+                st, _ = carry
+                st2, metrics = step(st, batch, jax.random.fold_in(rng, i))
+                return (st2, metrics["loss"].astype(jnp.float32)), ()
+            (st, loss), _ = jax.lax.scan(body, (state, jnp.float32(0.0)),
+                                         jnp.arange(n))
+            return loss
+        return fn
+
+    short, long_ = scan_steps(1), scan_steps(1 + args.iters)
+    key = jax.random.PRNGKey(0)
+    for _ in range(2):
+        out = float(short(state0, batch, key))
+    t0 = time.perf_counter()
+    out = float(short(state0, batch, key))
+    t_s = time.perf_counter() - t0
+    float(long_(state0, batch, key))
+    t0 = time.perf_counter()
+    out = float(long_(state0, batch, key))
+    t_l = time.perf_counter() - t0
+    assert np.isfinite(out), out
+    dt = max(t_l - t_s, 1e-6) / args.iters
+    print(json.dumps({
+        "metric": "train_step_seconds",
+        "value": round(dt, 4),
+        "unit": "s/step",
+        "samples_per_sec": round(b / dt, 3),
+        "batch": b, "cams": args.cams,
+    }))
+
+
+if __name__ == "__main__":
+    main()
