@@ -89,9 +89,13 @@ def ms_deform_attn_2d_onehot(value: jnp.ndarray,
         A = sum(wy[..., p, :, None] * Xc[..., p, None, :]
                 for p in range(num_points))              # (bs,nq,H,y,x)
         A = A.reshape(bs, num_query, num_heads, h * w)
+        # fp32 accumulation on the MXU; XLA:CPU's DotThunk rejects
+        # bf16 x bf16 = f32 for this batched layout (and accumulates bf16
+        # dots in fp32 internally anyway), so only request it off-CPU
+        pref = (jnp.float32 if jax.default_backend() != "cpu" else None)
         out = out + jnp.einsum("bqhs,bhsd->bqhd", A, vl.astype(cdt),
                                precision=prec,
-                               preferred_element_type=jnp.float32
+                               preferred_element_type=pref
                                ).astype(value.dtype)
     return out.reshape(bs, num_query, num_heads * head_dim)
 
