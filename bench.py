@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 import numpy as np
 
@@ -24,17 +23,8 @@ import numpy as np
 def main():
     import jax
 
-    # persistent compile cache: full-size compiles through the axon tunnel
-    # take minutes; cache them across runs
-    cache_dir = os.environ.get(
-        "JAX_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from vln_ver_tpu.utils.bench import enable_compile_cache, scan_diff_time
+    enable_compile_cache()
 
     from vln_ver_tpu.models import VERConfig, VoxelFormer
     from __graft_entry__ import _example_inputs
@@ -72,20 +62,9 @@ def main():
             return s
         return fn
 
-    short, long_ = run_n(2), run_n(2 + iters)
-    for _ in range(warmup):
-        out = float(short(params, feats, w2p, shift))
-    t0 = time.perf_counter()
-    out = float(short(params, feats, w2p, shift))
-    t_short = time.perf_counter() - t0
-    _ = float(long_(params, feats, w2p, shift))  # warm the long program
-    t0 = time.perf_counter()
-    out = float(long_(params, feats, w2p, shift))
-    t_long = time.perf_counter() - t0
-    assert np.isfinite(out)
-    dt = max(t_long - t_short, 1e-6)
-
-    volumes_per_sec = batch * iters / dt
+    dt = scan_diff_time(run_n, (params, feats, w2p, shift), iters,
+                        warmup=warmup)
+    volumes_per_sec = batch / dt
 
     vs_baseline = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

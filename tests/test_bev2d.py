@@ -185,3 +185,42 @@ def test_nuscenes_adapter_feeds_bev2d(tmp_path):
                                             cfg.num_query, 10)
     for v in jax.tree.leaves(outs):
         assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_tsa2d_batch_matches_per_sample():
+    """Regression: value/offsets fold the queue batch-major; references
+    must fold the same way — with per-sample shifted prev refs, the
+    batch-2 result must equal the two per-sample results."""
+    cfg = TINY
+    nq = cfg.bev_num
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((2, nq, cfg.embed_dims))
+                    .astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((2, nq, cfg.embed_dims))
+                       .astype(np.float32))
+    base = geometry.bev_reference_points(cfg.bev_h, cfg.bev_w)[None, :,
+                                                               None, :]
+    ref_cur = jnp.broadcast_to(base, (2, nq, 1, 2))
+    # distinct per-sample ego-motion shifts
+    shift = jnp.asarray([[0.07, -0.03], [-0.11, 0.05]], jnp.float32)
+    ref_prev = ref_cur + shift[:, None, None, :]
+
+    tsa = TemporalSelfAttention2D(embed_dims=cfg.embed_dims,
+                                  num_heads=cfg.num_heads,
+                                  num_points=cfg.tsa_num_points)
+    shapes = ((cfg.bev_h, cfg.bev_w),)
+    params = tsa.init(jax.random.PRNGKey(0), q, prev, ref_cur, ref_prev,
+                      shapes)
+    # break the zero-init symmetry so wrong reference pairing shows up
+    import flax.core
+    params = flax.core.unfreeze(params)
+    params["params"]["sampling_offsets"]["kernel"] = jnp.asarray(
+        rng.standard_normal(
+            params["params"]["sampling_offsets"]["kernel"].shape)
+        .astype(np.float32) * 0.1)
+    both = tsa.apply(params, q, prev, ref_cur, ref_prev, shapes)
+    for b in range(2):
+        one = tsa.apply(params, q[b:b + 1], prev[b:b + 1],
+                        ref_cur[b:b + 1], ref_prev[b:b + 1], shapes)
+        np.testing.assert_allclose(np.asarray(both[b]),
+                                   np.asarray(one[0]), atol=1e-5)

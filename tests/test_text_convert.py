@@ -165,3 +165,19 @@ def test_wordpiece_matches_hf_tokenizer(tmp_path):
         got = ours.encode(text, max_len=32)
         got = got[:np.max(np.nonzero(got)) + 1] if got.any() else got[:0]
         assert list(got) == ref, (text, list(got), ref)
+
+
+def test_wordpiece_truncation_keeps_sep(tmp_path):
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "walk", "to", "the"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(words) + "\n")
+    from vln_ver_tpu.agent.data import WordPieceVocab
+    v = WordPieceVocab(str(vocab_file))
+    hf = transformers.BertTokenizer(str(vocab_file), do_lower_case=True)
+    text = " ".join(["walk to the"] * 20)   # 60 tokens + specials
+    max_len = 16
+    ours = list(v.encode(text, max_len))
+    ref = hf.encode(text, add_special_tokens=True, max_length=max_len,
+                    truncation=True)
+    assert ours == ref, (ours, ref)
+    assert ours[-1] == v.sep

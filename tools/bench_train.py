@@ -15,7 +15,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -31,13 +30,9 @@ def main():
     args = p.parse_args()
 
     import jax
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+
+    from vln_ver_tpu.utils.bench import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _example_inputs
@@ -84,19 +79,10 @@ def main():
             return loss
         return fn
 
-    short, long_ = scan_steps(1), scan_steps(1 + args.iters)
+    from vln_ver_tpu.utils.bench import scan_diff_time
     key = jax.random.PRNGKey(0)
-    for _ in range(2):
-        out = float(short(state0, batch, key))
-    t0 = time.perf_counter()
-    out = float(short(state0, batch, key))
-    t_s = time.perf_counter() - t0
-    float(long_(state0, batch, key))
-    t0 = time.perf_counter()
-    out = float(long_(state0, batch, key))
-    t_l = time.perf_counter() - t0
-    assert np.isfinite(out), out
-    dt = max(t_l - t_s, 1e-6) / args.iters
+    dt = scan_diff_time(scan_steps, (state0, batch, key), args.iters,
+                        base_len=1)
     print(json.dumps({
         "metric": "train_step_seconds",
         "value": round(dt, 4),

@@ -32,13 +32,9 @@ def main():
     args = p.parse_args()
 
     import jax
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+
+    from vln_ver_tpu.utils.bench import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _example_inputs

@@ -14,7 +14,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -29,13 +28,9 @@ def main():
     args = p.parse_args()
 
     import jax
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+
+    from vln_ver_tpu.utils.bench import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     bs, nq, H, P, h, w, hd = args.bs, 900, 8, 8, 14, 14, 96
@@ -116,19 +111,13 @@ def main():
             return s
         return fn
 
+    from functools import partial
+
+    from vln_ver_tpu.utils.bench import scan_diff_time
     for variant in args.variants.split(","):
-        short, long_ = make(variant, 2), make(variant, 2 + args.iters)
-        for _ in range(2):
-            float(short(X, Y, W, V, A0))
-        t0 = time.perf_counter()
-        float(short(X, Y, W, V, A0))
-        ts = time.perf_counter() - t0
-        float(long_(X, Y, W, V, A0))
-        t0 = time.perf_counter()
-        float(long_(X, Y, W, V, A0))
-        tl = time.perf_counter() - t0
-        print(json.dumps({variant: round((tl - ts) / args.iters * 1000,
-                                         3)}), flush=True)
+        dt = scan_diff_time(partial(make, variant), (X, Y, W, V, A0),
+                            args.iters)
+        print(json.dumps({variant: round(dt * 1000, 3)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -13,11 +13,9 @@ Usage: python tools/profile_parts.py [--cams 36] [--batch 4] [--iters 8]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -32,13 +30,9 @@ def main():
     args = p.parse_args()
 
     import jax
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+
+    from vln_ver_tpu.utils.bench import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from vln_ver_tpu.models import VERConfig, VoxelFormer
@@ -78,19 +72,13 @@ def main():
         feats, w2p, shift = _example_inputs(cfg, batch=args.batch)
         params = model.init(jax.random.PRNGKey(0), feats[:1], w2p[:1],
                             shift[:1])
-        short = scan_time(model, params, feats, w2p, shift, mode, 2)
-        long_ = scan_time(model, params, feats, w2p, shift, mode,
-                          2 + args.iters)
-        for _ in range(2):
-            float(short(params, feats, w2p, shift))
-        t0 = time.perf_counter()
-        float(short(params, feats, w2p, shift))
-        t_s = time.perf_counter() - t0
-        float(long_(params, feats, w2p, shift))
-        t0 = time.perf_counter()
-        float(long_(params, feats, w2p, shift))
-        t_l = time.perf_counter() - t0
-        ms = (t_l - t_s) / args.iters * 1000
+        from functools import partial
+
+        from vln_ver_tpu.utils.bench import scan_diff_time
+        dt = scan_diff_time(
+            partial(scan_time, model, params, feats, w2p, shift, mode),
+            (params, feats, w2p, shift), args.iters)
+        ms = dt * 1000
         results[mode] = round(ms, 2)
         print(json.dumps({mode: results[mode]}), flush=True)
 

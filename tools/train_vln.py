@@ -58,17 +58,28 @@ def parse_args():
 
 
 def load_text_init(path):
-    """Read the converted BERT blob -> (PolicyConfig overrides, params)."""
+    """Read the converted BERT blob -> (PolicyConfig overrides, params).
+
+    The position table is truncated to the chosen max_text_len so the
+    grafted tree matches the module's declared param shape (flax validates
+    stored params against init shapes; a 512-row BERT table would
+    otherwise fail at apply)."""
+    import numpy as _np
+
     import flax.serialization
     with open(path, "rb") as f:
         blob = flax.serialization.msgpack_restore(f.read())
     meta = {k: int(v) for k, v in blob["meta"].items()}
+    max_text_len = min(meta["max_len"], 80)
     overrides = dict(
         text_arch="bert", vocab_size=meta["vocab_size"],
         text_layers=meta["num_layers"], text_ffn_dim=meta["ffn_dim"],
         embed_dims=meta["hidden"],
-        max_text_len=min(meta["max_len"], 80))
-    return overrides, blob["params"]
+        max_text_len=max_text_len)
+    params = dict(blob["params"])
+    params["pos_embed"] = _np.ascontiguousarray(
+        params["pos_embed"][:max_text_len])
+    return overrides, params
 
 
 def main():
@@ -86,6 +97,13 @@ def main():
 
     os.makedirs(args.work_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
+
+    # load pretrained-text overrides FIRST: the tokenized instruction
+    # length must match the (possibly truncated) position table
+    text_overrides, text_params = (None, None)
+    if args.text_init:
+        text_overrides, text_params = load_text_init(args.text_init)
+    text_len = (text_overrides["max_text_len"] if text_overrides else 80)
 
     if args.synthetic:
         dims = args.embed_dims or 64
@@ -112,7 +130,7 @@ def main():
         vocab0 = (WordPieceVocab(args.bert_vocab)
                   if args.bert_vocab else None)
         episodes, vocab = load_r2r_split(args.data_dir, "train", vocab0,
-                                         80, prefix=args.benchmark)
+                                         text_len, prefix=args.benchmark)
         cfg = PolicyConfig(embed_dims=dims, vocab_size=len(vocab))
         graphs = load_graphs(args.connectivity,
                              [e["scan"] for e in episodes])
@@ -123,13 +141,14 @@ def main():
             with open(args.objects, "rb") as f:
                 objects = pickle.load(f)
 
-    if args.text_init:
+    if text_overrides:
         import dataclasses as _dc
-        overrides, text_params = load_text_init(args.text_init)
-        cfg = _dc.replace(cfg, **overrides)
-        print(f"text-init: BERT arch, {overrides['text_layers']} layers, "
-              f"hidden {overrides['embed_dims']}, "
-              f"vocab {overrides['vocab_size']}")
+        cfg = _dc.replace(cfg, **text_overrides)
+        print(f"text-init: BERT arch, "
+              f"{text_overrides['text_layers']} layers, "
+              f"hidden {text_overrides['embed_dims']}, "
+              f"vocab {text_overrides['vocab_size']}, "
+              f"max_text_len {text_overrides['max_text_len']}")
 
     env = R2REnv(episodes, graphs, ver, max_nodes=cfg.max_nodes,
                  objects=objects)

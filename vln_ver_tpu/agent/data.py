@@ -100,7 +100,10 @@ class WordPieceVocab:
             ids.extend(self._wordpiece(w))
         if self.sep is not None:
             ids.append(self.sep)
-        ids = ids[:max_len]
+        if len(ids) > max_len:
+            # HF truncation semantics: [SEP] stays last
+            ids = (ids[:max_len - 1] + [self.sep]
+                   if self.sep is not None else ids[:max_len])
         out = np.zeros((max_len,), np.int32)
         out[:len(ids)] = ids
         return out

@@ -158,11 +158,19 @@ class TemporalSelfAttention2D(nn.Module):
         v = v.reshape(bsz * queue, nq, self.num_heads, hd)
 
         n_off = queue * self.num_heads * self.num_levels * self.num_points
+
+        def _bias_init(*a):
+            # per-head directional grid, repeated per queue slot WITHIN
+            # each head (the offsets reshape below is heads-major:
+            # (..., heads, queue, levels, points, 2))
+            g = _offset_grid_init_2d(self.num_heads, self.num_levels,
+                                     self.num_points).reshape(
+                self.num_heads, 1, -1)
+            return jnp.tile(g, (1, queue, 1)).reshape(-1)
+
         offsets = nn.Dense(
             n_off * 2, kernel_init=nn.initializers.zeros,
-            bias_init=lambda *a: jnp.tile(
-                _offset_grid_init_2d(self.num_heads, self.num_levels,
-                                     self.num_points), queue),
+            bias_init=_bias_init,
             name="sampling_offsets", dtype=jnp.float32)(q_cat)
         offsets = offsets.reshape(bsz, nq, self.num_heads, queue,
                                   self.num_levels, self.num_points, 2)
@@ -184,7 +192,11 @@ class TemporalSelfAttention2D(nn.Module):
             self.num_points, 2)
         normalizer = jnp.asarray([[w, h] for (h, w) in spatial_shapes],
                                  jnp.float32)
-        ref = jnp.concatenate([ref_prev, ref_current], axis=0)
+        # fold queue into batch BATCH-MAJOR (row = b*queue + slot), matching
+        # the value/offset folding above — a slot-major concatenate would
+        # pair sample b's value rows with sample (b*2 mod B)'s references
+        ref = jnp.stack([ref_prev, ref_current], axis=1).reshape(
+            bsz * queue, nq, -1, 2)
         locations = (ref[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
 

@@ -68,12 +68,19 @@ class VoxelTemporalSelfAttention(nn.Module):
         v = v.reshape(bsz * queue, nq, self.num_heads, hd)
 
         n_off = queue * self.num_heads * self.num_levels * self.num_points
+
+        def _bias_init(*a):
+            # per-head grid repeated per queue slot WITHIN each head — the
+            # reshape below is heads-major (..., heads, queue, L, P, 3)
+            g = _offset_grid_init_3d(self.num_heads, self.num_levels,
+                                     self.num_points).reshape(
+                self.num_heads, 1, -1)
+            return jnp.tile(g, (1, queue, 1)).reshape(-1)
+
         offsets = nn.Dense(
             n_off * 3,
             kernel_init=nn.initializers.zeros,
-            bias_init=lambda *a: jnp.tile(
-                _offset_grid_init_3d(self.num_heads, self.num_levels,
-                                     self.num_points), queue),
+            bias_init=_bias_init,
             name="sampling_offsets", dtype=jnp.float32)(q_cat)
         offsets = offsets.reshape(bsz, nq, self.num_heads, queue,
                                   self.num_levels, self.num_points, 3)
@@ -96,8 +103,12 @@ class VoxelTemporalSelfAttention(nn.Module):
 
         normalizer = jnp.asarray(
             [[w, h, d] for (d, h, w) in spatial_shapes], jnp.float32)
-        ref = jnp.concatenate([reference_points, reference_points],
-                              axis=0)  # (B*queue, nq, L, 3)
+        # batch-major queue fold (row = b*queue + slot), matching the
+        # value/offset folding — both slots share the same refs here, but
+        # the ordering must pair each sample with its own references
+        ref = jnp.stack([reference_points, reference_points],
+                        axis=1).reshape(
+            bsz * queue, nq, reference_points.shape[2], 3)
         locations = (ref[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
 

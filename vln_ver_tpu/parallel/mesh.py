@@ -76,18 +76,29 @@ def _spec(key: str, mesh: Mesh) -> P:
     return P(batch_axes)
 
 
+def _is_host_value(v) -> bool:
+    """Non-numeric batch entries (tokens, prev-frame ids, ...) stay host."""
+    if isinstance(v, (str, bytes)):
+        return True
+    if isinstance(v, (list, tuple)):
+        return any(isinstance(x, (str, bytes)) for x in v)
+    return False
+
+
 def batch_pspecs(batch: Dict, mesh: Optional[Mesh] = None) -> Dict[str, P]:
     if mesh is None:  # legacy call sites: 2-axis (data, view) mesh
         return {k: (P("data", "view") if k in _VIEW_KEYS else P("data"))
-                for k in batch if k != "token"}
-    return {k: _spec(k, mesh) for k in batch if k != "token"}
+                for k, v in batch.items() if not _is_host_value(v)}
+    return {k: _spec(k, mesh) for k, v in batch.items()
+            if not _is_host_value(v)}
 
 
 def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
-    """device_put the batch with batch/view shardings; 'token' stays host."""
+    """device_put the batch with batch/view shardings; string-valued
+    entries (token, prev, ...) stay on host."""
     out = {}
     for k, v in batch.items():
-        if k == "token":
+        if _is_host_value(v):
             out[k] = v
             continue
         out[k] = jax.device_put(v, NamedSharding(mesh, _spec(k, mesh)))

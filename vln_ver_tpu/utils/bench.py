@@ -1,0 +1,58 @@
+"""Shared benchmarking plumbing for the perf CLIs.
+
+Two building blocks used by bench.py, tools/bench_train.py,
+tools/profile_parts.py, tools/probe_deform.py, tools/check_determinism.py:
+
+* :func:`enable_compile_cache` — the persistent compile cache; full-size
+  compiles through the axon TPU tunnel take minutes, caching them across
+  runs is load-bearing.
+* :func:`scan_diff_time` — device-honest timing on the remote backend:
+  the axon tunnel neither blocks in ``block_until_ready`` nor has
+  negligible dispatch RTT, so work is scanned INSIDE one jit (serialized
+  by a data dependency) and the per-iteration time is the difference of a
+  short and a long scan, cancelling RTT and fixed overhead.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    import jax
+    cache_dir = cache_dir or os.environ.get("JAX_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def scan_diff_time(make_fn: Callable[[int], Callable], args: tuple,
+                   iters: int, warmup: int = 2,
+                   base_len: int = 2) -> float:
+    """Seconds per iteration of the scanned body.
+
+    ``make_fn(n)`` must return a jitted callable running the body ``n``
+    times inside one program and returning a scalar (fetched to force
+    completion).  Timing = (t(base+iters) - t(base)) / iters.
+    """
+    import numpy as np
+
+    short, long_ = make_fn(base_len), make_fn(base_len + iters)
+    out = None
+    for _ in range(warmup):
+        out = float(short(*args))
+    t0 = time.perf_counter()
+    out = float(short(*args))
+    t_short = time.perf_counter() - t0
+    float(long_(*args))  # warm the long program
+    t0 = time.perf_counter()
+    out = float(long_(*args))
+    t_long = time.perf_counter() - t0
+    assert np.isfinite(out), out
+    return max(t_long - t_short, 1e-6) / iters
