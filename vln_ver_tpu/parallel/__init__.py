@@ -1,2 +1,4 @@
 from .mesh import (batch_pspecs, make_mesh,  # noqa: F401
                    make_multislice_mesh, replicate, shard_batch)
+from .tensor import (make_tp_mesh, shard_params,  # noqa: F401
+                     shard_state, tp_fraction)
