@@ -44,6 +44,10 @@ def parse_args():
     p.add_argument("--sample-prob", type=float, default=0.5,
                    help="fraction of rollouts with sampled (student) "
                         "actions, DAgger-style; teacher labels either way")
+    p.add_argument("--update-batch", type=int, default=8,
+                   help="decision steps per optimizer update (rollout "
+                        "steps are buffered and stacked — one jitted "
+                        "update per batch instead of per step)")
     p.add_argument("--work-dir", default="work_dirs/vln")
     p.add_argument("--embed-dims", type=int, default=None)
     p.add_argument("--text-init", default=None,
@@ -188,10 +192,38 @@ def main():
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss, aux
 
+    def stack_records(recs):
+        """Stack buffered decision steps into one update batch: one jitted
+        update per ``update_batch`` steps instead of per step (the jit
+        sees a single static batch shape)."""
+        obs0 = recs[0]["obs"]
+        batch = dict(
+            instruction=jnp.stack(
+                [jnp.asarray(r["obs"]["instruction"]) for r in recs]),
+            volume=jnp.stack(
+                [jnp.asarray(r["obs"]["volume"]) for r in recs]),
+            memory=jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0),
+                *[r["memory"] for r in recs]),
+            cur_pos=jnp.stack(
+                [jnp.asarray(r["obs"]["cur_pos"]) for r in recs]),
+            cur_slot=jnp.asarray(
+                [r["obs"]["cur_slot"] for r in recs], jnp.int32),
+            teacher=jnp.asarray([r["teacher"] for r in recs], jnp.int32))
+        if "obj_feats" in obs0:
+            batch["obj_feats"] = jnp.stack(
+                [jnp.asarray(r["obs"]["obj_feats"]) for r in recs])
+            batch["obj_valid"] = jnp.stack(
+                [jnp.asarray(r["obs"]["obj_valid"]) for r in recs])
+            batch["gt_obj"] = jnp.asarray(
+                [r["obs"]["gt_obj"] for r in recs], jnp.int32)
+        return batch
+
     logf = open(os.path.join(args.work_dir, "vln_log.jsonl"), "a")
     t0 = time.perf_counter()
     step = 0
     losses = []
+    buffer = []
     roll_rng = jax.random.PRNGKey(args.seed + 7)
     while step < args.steps:
         ep_idx = int(rng.integers(len(episodes)))
@@ -200,29 +232,22 @@ def main():
         _, trace = run_episode(policy, params, env, ep_idx, cfg,
                                greedy=not sample, rng=sub,
                                collect_teacher=True)
-        for rec in trace:
-            obs = rec["obs"]
-            batch = dict(
-                instruction=jnp.asarray(obs["instruction"])[None],
-                volume=jnp.asarray(obs["volume"])[None],
-                memory=rec["memory"],
-                cur_pos=jnp.asarray(obs["cur_pos"])[None],
-                cur_slot=jnp.asarray(obs["cur_slot"])[None],
-                teacher=jnp.asarray([rec["teacher"]], jnp.int32))
-            if "obj_feats" in obs:
-                batch["obj_feats"] = jnp.asarray(obs["obj_feats"])[None]
-                batch["obj_valid"] = jnp.asarray(obs["obj_valid"])[None]
-                batch["gt_obj"] = jnp.asarray([obs["gt_obj"]], jnp.int32)
-            params, opt_state, loss, aux = update(params, opt_state, batch)
+        buffer.extend(trace)
+        while len(buffer) >= args.update_batch and step < args.steps:
+            chunk, buffer = (buffer[:args.update_batch],
+                             buffer[args.update_batch:])
+            params, opt_state, loss, aux = update(
+                params, opt_state, stack_records(chunk))
             losses.append(float(loss))
-            step += 1
-            if step % 25 == 0:
-                avg = float(np.mean(losses[-25:]))
+            step += len(chunk)
+            if (step // args.update_batch) % 5 == 0:
+                avg = float(np.mean(losses[-5:]))
                 print(f"step {step}: nll={avg:.4f} "
                       f"({(time.perf_counter()-t0)/step:.2f}s/step)")
                 logf.write(json.dumps(dict(step=step, loss=avg)) + "\n")
                 logf.flush()
-            if step % args.eval_interval == 0 or step >= args.steps:
+            if (step % args.eval_interval < args.update_batch
+                    or step >= args.steps):
                 m = evaluate(policy, params, env, cfg,
                              limit=args.eval_limit)
                 m["step"] = step
@@ -230,8 +255,6 @@ def main():
                                 for k, v in m.items()})
                 logf.write(json.dumps(m) + "\n")
                 logf.flush()
-            if step >= args.steps:
-                break
 
     from vln_ver_tpu.utils.checkpoint import save_state
     save_state(os.path.join(args.work_dir, "ckpt"), step, params)
