@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run val-split eval every N steps (0 = off)")
     p.add_argument("--eval-limit", type=int, default=32)
+    p.add_argument("--save-best", default=None,
+                   help="eval metric to track (e.g. miou, mAP_0.25); the "
+                        "best checkpoint is kept at ckpt_best/ (the "
+                        "reference's eval-hook save_best, "
+                        "eval_hooks.py:89-90)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=str, default=None,
@@ -133,6 +138,7 @@ def main():
     t0 = time.perf_counter()
     step = start_step
     epoch = 0
+    best_metric = float("-inf")
     with mesh:
         while step < total_steps:
             # deterministic per-epoch shuffle (the reference's
@@ -186,6 +192,15 @@ def main():
                         print("eval:", keep)
                         logf.write(json.dumps(keep) + "\n")
                         logf.flush()
+                        if args.save_best and args.save_best in em:
+                            cur = float(em[args.save_best])
+                            if cur > best_metric:
+                                best_metric = cur
+                                save_state(os.path.join(
+                                    args.work_dir, "ckpt_best"), step,
+                                    state)
+                                print(f"new best {args.save_best}="
+                                      f"{cur:.4f} at step {step}")
     print("done")
 
 
