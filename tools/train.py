@@ -47,7 +47,13 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=str, default=None,
-                   help="mesh shape 'data,view' (default: all devices dp)")
+                   help="mesh shape 'data,view' or 'slice,data,view' "
+                        "(default: all devices dp); 3 values build the "
+                        "multi-slice hybrid mesh (DCN slice axis)")
+    p.add_argument("--tp-model", type=int, default=1,
+                   help="tensor-parallel model-axis size: builds a "
+                        "(data, view, model) mesh and shards large param "
+                        "matrices + AdamW moments over 'model'")
     return p.parse_args()
 
 
@@ -106,7 +112,25 @@ def main():
     mesh_shape = None
     if args.mesh:
         mesh_shape = tuple(int(x) for x in args.mesh.split(","))
-    mesh = make_mesh(mesh_shape)
+    if args.tp_model > 1:
+        from vln_ver_tpu.parallel import make_tp_mesh
+        n = len(jax.devices())
+        view = mesh_shape[1] if mesh_shape and len(mesh_shape) > 1 else 1
+        data = (mesh_shape[0] if mesh_shape
+                else n // (view * args.tp_model))
+        mesh = make_tp_mesh(data=data, model=args.tp_model, view=view)
+    elif mesh_shape and len(mesh_shape) == 3:
+        from vln_ver_tpu.parallel import make_multislice_mesh
+        mesh = make_multislice_mesh(*mesh_shape)
+    else:
+        mesh = make_mesh(mesh_shape)
+
+    batch_shards = (dict(mesh.shape).get("slice", 1)
+                    * dict(mesh.shape)["data"])
+    if batch_size % batch_shards:
+        raise SystemExit(
+            f"--batch-size {batch_size} must be divisible by the mesh's "
+            f"batch shards (slice*data = {batch_shards})")
 
     model = VoxelFormer(ver)
     sample = dataset[0]
@@ -128,7 +152,11 @@ def main():
             start_step = int(state.step)
             print(f"resumed from step {start_step}")
 
-    state = replicate(mesh, state)
+    if args.tp_model > 1:
+        from vln_ver_tpu.parallel import shard_state
+        state = shard_state(mesh, state)
+    else:
+        state = replicate(mesh, state)
     step_fn = make_train_step(ver, tc)
     sched = make_lr_schedule(tc)
     rng = jax.random.PRNGKey(args.seed + 1)
