@@ -66,12 +66,16 @@ def main():
                         warmup=warmup)
     volumes_per_sec = batch / dt
 
+    # vs_baseline = this run / round-1 recorded value.  The driver writes
+    # BENCH_r01.json, BENCH_r02.json, ...; anchor to the EARLIEST round so
+    # the ratio is a cumulative round-over-round progress signal.
     vs_baseline = 1.0
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_r1.json")
-    if os.path.exists(base_path):
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if rounds:
         try:
-            with open(base_path) as f:
+            with open(rounds[0]) as f:
                 base = json.load(f)
             if base.get("value"):
                 vs_baseline = volumes_per_sec / float(base["value"])

@@ -99,8 +99,29 @@ class R2REnv:
         if vp not in state["slot_of"]:
             idx = len(state["slot_of"])
             if idx >= self.max_nodes:
-                # recycle the oldest non-current slot (bounded memory)
-                idx = state["steps"] % self.max_nodes
+                # Recycle in discovery (FIFO) order, but never steal the
+                # slot of the current node or of any neighbour of it (the
+                # frontier the policy must still be able to pick), and
+                # evict the old occupant from slot_of so a slot id always
+                # maps to exactly one viewpoint.
+                protected = {state["cur"]}
+                protected.update(state["graph"].edges[state["cur"]])
+                idx = None
+                ptr = state.get("recycle_ptr", 0)
+                for off in range(self.max_nodes):
+                    cand = (ptr + off) % self.max_nodes
+                    if state["vp_of"].get(cand) not in protected:
+                        idx = cand
+                        state["recycle_ptr"] = (cand + 1) % self.max_nodes
+                        break
+                if idx is None:
+                    raise RuntimeError(
+                        "R2REnv memory overflow: every slot is protected; "
+                        "raise max_nodes (current node has too many "
+                        "neighbours for max_nodes=%d)" % self.max_nodes)
+                old = state["vp_of"].get(idx)
+                if old is not None:
+                    del state["slot_of"][old]
             state["slot_of"][vp] = idx
             state["vp_of"][idx] = vp
         return state["slot_of"][vp]
@@ -169,8 +190,10 @@ class R2REnv:
         most reduces shortest-path distance to the goal."""
         graph = state["graph"]
         cur, goal = state["cur"], state["goal"]
-        if graph.distance(cur, goal) < self.success_radius and \
-                cur == goal or cur == goal:
+        # Teacher stops exactly at the goal node (R2R teachers follow the
+        # annotated path to its end; success_radius is an *evaluation*
+        # notion, not a teacher early-stop).
+        if cur == goal:
             return 0
         sp = graph.shortest_paths(cur)
         if goal not in sp:

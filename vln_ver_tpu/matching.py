@@ -123,7 +123,12 @@ def build_detr_targets(matched_rows: jnp.ndarray,
       bbox_targets (num_query, D),
       bbox_weights (num_query,) 1.0 at matched queries.
     """
-    rows = jnp.where(gt_valid, matched_rows, num_query)  # OOB -> dropped
+    # OOB -> dropped; also map negative rows (non-converged auction, the
+    # iteration cap hit with columns still unassigned) out of bounds —
+    # otherwise -1 wraps to query num_query-1 under mode="drop" and a GT is
+    # silently assigned to the last query.
+    rows = jnp.where(gt_valid & (matched_rows >= 0), matched_rows,
+                     num_query)
     labels = jnp.full((num_query,), num_classes, jnp.int32)
     labels = labels.at[rows].set(gt_labels.astype(jnp.int32), mode="drop")
     d = gt_boxes.shape[-1]

@@ -268,8 +268,23 @@ class VoxelDeformableAttention3D(nn.Module):
         locations = (reference_points[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
 
-        out = voxel_deform_attn_3d(value.astype(jnp.float32), spatial_shapes,
-                                   locations, attn).astype(self.dtype)
+        if all(d == 1 for (d, _, _) in spatial_shapes):
+            # decoder_on_bev: a depth-1 grid means 2D sampling.  The
+            # reference routes this path through its 2D
+            # CustomMSDeformableAttention over [[bev_h, bev_w]]
+            # (voxel_transformer.py:263-285); a trilinear tap over depth 1
+            # would attenuate features by a z-dependent 0.5-1.0 factor and
+            # leak z gradients.  We keep the 3D offset parameterisation
+            # (z component inert on this path) and sample bilinearly.
+            from ..ops import ms_deform_attn_2d
+            shapes_2d = tuple((h, w) for (_, h, w) in spatial_shapes)
+            out = ms_deform_attn_2d(
+                value.astype(jnp.float32), shapes_2d,
+                locations[..., :2], attn).astype(self.dtype)
+        else:
+            out = voxel_deform_attn_3d(
+                value.astype(jnp.float32), spatial_shapes,
+                locations, attn).astype(self.dtype)
         out = nn.Dense(self.embed_dims, name="output_proj",
                        dtype=self.dtype)(out)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)

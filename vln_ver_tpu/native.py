@@ -30,7 +30,12 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH):
+            src = os.path.join(_NATIVE_DIR, "ver_host.cc")
+            stale = (os.path.exists(_LIB_PATH)
+                     and os.path.exists(src)
+                     and os.path.getmtime(_LIB_PATH)
+                     < os.path.getmtime(src))
+            if not os.path.exists(_LIB_PATH) or stale:
                 subprocess.run(["make", "-C", _NATIVE_DIR],
                                check=True, capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
