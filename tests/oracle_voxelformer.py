@@ -1,0 +1,574 @@
+"""Full-model torch oracle of the reference VoxelFormer active path.
+
+Written from reference semantics (NOT copied):
+  * detector/head:  voxelformer_occupancy_head.py:180-640 (default branch,
+    refine_occ) — module tree named EXACTLY like the reference so
+    ``state_dict()`` keys match a real released checkpoint
+    (``pts_bbox_head.*``).
+  * transformer:    voxel_transformer.py:78-301
+  * encoder:        voxel_encoder.py:30-464 (op order cross_attn/norm/ffn/
+    norm, vocc.py:136) + spatial_cross_attention.py:31-402 (sparse rebatch)
+  * decoder:        voxel_decoder.py:53-358 + mmcv DetrTransformerDecoderLayer
+    (self_attn/norm/cross_attn/norm/ffn/norm), mmcv FFN/MultiheadAttention
+    naming (``ffns.0.layers.0.0`` etc.).
+
+Everything runs fp32 / eval (dropout off).  The occupancy branch implements
+the reference's raw ``.view`` reinterpretations verbatim (head:558,564,573).
+
+Used by tests/test_convert_voxelformer.py to prove the weight converter +
+our forward reproduce the reference end-to-end, and by
+tools/fidelity_voxelformer.py at full size.
+"""
+
+from __future__ import annotations
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from vln_ver_tpu.models.config import VERConfig
+
+
+def inverse_sigmoid(x, eps=1e-5):
+    x = x.clamp(min=0, max=1)
+    return torch.log(x.clamp(min=eps) / (1 - x).clamp(min=eps))
+
+
+def ms_deform_attn_2d_torch(value, spatial_shapes, locations, attn):
+    """mmcv multi_scale_deformable_attn_pytorch (grid_sample fallback).
+
+    value (B, nv, H, d); spatial_shapes [(h, w)]; locations
+    (B, nq, H, L, P, 2); attn (B, nq, H, L, P)."""
+    bs, _, num_heads, d = value.shape
+    _, nq, _, num_levels, num_points, _ = locations.shape
+    splits = [h * w for (h, w) in spatial_shapes]
+    value_list = value.split(splits, dim=1)
+    grids = 2 * locations - 1
+    sampled = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(
+            bs * num_heads, d, h, w)
+        g = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)
+        sampled.append(s)
+    attn = attn.transpose(1, 2).reshape(
+        bs * num_heads, 1, nq, num_levels * num_points)
+    out = (torch.stack(sampled, dim=-2).flatten(-2) * attn).sum(-1)
+    return out.view(bs, num_heads * d, nq).transpose(1, 2).contiguous()
+
+
+def voxel_deform_attn_3d_torch(value, spatial_shapes, locations, attn):
+    """voxel_multi_scale_deformable_attn_pytorch
+    (voxel_temporal_self_attention.py:275-335)."""
+    bs, _, num_heads, d = value.shape
+    _, nq, _, num_levels, num_points, _ = locations.shape
+    splits = [dd * h * w for (dd, h, w) in spatial_shapes]
+    value_list = value.split(splits, dim=1)
+    grids = 2 * locations - 1
+    sampled = []
+    for lvl, (dd, h, w) in enumerate(spatial_shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(
+            bs * num_heads, d, dd, h, w)
+        g = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1).unsqueeze(1)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)
+        # (bs*H, d, 1, nq, P) -> (bs*H, d, nq, P)
+        sampled.append(s.squeeze(2))
+    attn = attn.transpose(1, 2).reshape(
+        bs * num_heads, 1, nq, num_levels * num_points)
+    out = (torch.stack(sampled, dim=-2).flatten(-2) * attn).sum(-1)
+    return out.view(bs, num_heads * d, nq).transpose(1, 2).contiguous()
+
+
+class MSDeformableAttention3D(nn.Module):
+    """Per-camera 2D deformable attention with z-anchor point sharing
+    (spatial_cross_attention.py:179-402); batch_first=True, no
+    output_proj."""
+
+    def __init__(self, embed_dims, num_heads, num_levels, num_points):
+        super().__init__()
+        self.embed_dims, self.num_heads = embed_dims, num_heads
+        self.num_levels, self.num_points = num_levels, num_points
+        self.sampling_offsets = nn.Linear(
+            embed_dims, num_heads * num_levels * num_points * 2)
+        self.attention_weights = nn.Linear(
+            embed_dims, num_heads * num_levels * num_points)
+        self.value_proj = nn.Linear(embed_dims, embed_dims)
+
+    def forward(self, query, value, reference_points, spatial_shapes):
+        bs, nq, _ = query.shape
+        bs, nv, _ = value.shape
+        value = self.value_proj(value).view(bs, nv, self.num_heads, -1)
+        off = self.sampling_offsets(query).view(
+            bs, nq, self.num_heads, self.num_levels, self.num_points, 2)
+        attn = self.attention_weights(query).view(
+            bs, nq, self.num_heads, self.num_levels * self.num_points)
+        attn = attn.softmax(-1).view(bs, nq, self.num_heads,
+                                     self.num_levels, self.num_points)
+        normalizer = torch.tensor([[w, h] for (h, w) in spatial_shapes],
+                                  dtype=torch.float32)
+        _, _, num_anchors, _ = reference_points.shape
+        off = off / normalizer[None, None, None, :, None, :]
+        pts = self.num_points
+        off = off.view(bs, nq, self.num_heads, self.num_levels,
+                       pts // num_anchors, num_anchors, 2)
+        loc = reference_points[:, :, None, None, None, :, :] + off
+        loc = loc.reshape(bs, nq, self.num_heads, self.num_levels, pts, 2)
+        return ms_deform_attn_2d_torch(value, spatial_shapes, loc, attn)
+
+
+class SpatialCrossAttention(nn.Module):
+    """Sparse per-camera rebatch + scatter-add + count-normalise
+    (spatial_cross_attention.py:76-176)."""
+
+    def __init__(self, embed_dims, num_heads, num_levels, num_points,
+                 num_cams):
+        super().__init__()
+        self.embed_dims, self.num_cams = embed_dims, num_cams
+        self.deformable_attention = MSDeformableAttention3D(
+            embed_dims, num_heads, num_levels, num_points)
+        self.output_proj = nn.Linear(embed_dims, embed_dims)
+
+    def forward(self, query, key, value, reference_points_cam, bev_mask,
+                spatial_shapes):
+        """query (bs, nq, C); key/value (cams, nv, bs, C);
+        reference_points_cam (cams, bs, nq, A, 2); bev_mask same sans 2."""
+        bs, nq, c = query.shape
+        inp_residual = query
+        slots = torch.zeros_like(query)
+        D = reference_points_cam.size(3)
+        indexes = [m[0].sum(-1).nonzero().squeeze(-1) for m in bev_mask]
+        max_len = max(max(len(i) for i in indexes), 1)
+        q_rb = query.new_zeros(bs, self.num_cams, max_len, c)
+        r_rb = reference_points_cam.new_zeros(
+            bs, self.num_cams, max_len, D, 2)
+        for j in range(bs):
+            for i, refs in enumerate(reference_points_cam):
+                idx = indexes[i]
+                q_rb[j, i, :len(idx)] = query[j, idx]
+                r_rb[j, i, :len(idx)] = refs[j, idx]
+        num_cams, l, bs_, _ = key.shape
+        v = value.permute(2, 0, 1, 3).reshape(bs * self.num_cams, l, c)
+        out = self.deformable_attention(
+            q_rb.view(bs * self.num_cams, max_len, c), v,
+            r_rb.view(bs * self.num_cams, max_len, D, 2),
+            spatial_shapes).view(bs, self.num_cams, max_len, c)
+        for j in range(bs):
+            for i, idx in enumerate(indexes):
+                slots[j, idx] += out[j, i, :len(idx)]
+        count = bev_mask.sum(-1) > 0
+        count = count.permute(1, 2, 0).sum(-1).clamp(min=1.0)
+        slots = slots / count[..., None]
+        return self.output_proj(slots) + inp_residual  # dropout inert
+
+
+class FFN(nn.Module):
+    """mmcv FFN naming: layers.0.0 (Linear), layers.1 (Linear)."""
+
+    def __init__(self, embed_dims, feedforward_channels, drop=0.1):
+        super().__init__()
+        self.layers = nn.Sequential(
+            nn.Sequential(nn.Linear(embed_dims, feedforward_channels),
+                          nn.ReLU(inplace=True), nn.Dropout(drop)),
+            nn.Linear(feedforward_channels, embed_dims), nn.Dropout(drop))
+
+    def forward(self, x):
+        return x + self.layers(x)
+
+
+class EncoderLayer(nn.Module):
+    """VoxelFormerLayer, op order cross_attn/norm/ffn/norm (vocc.py:136);
+    mmcv naming attentions/ffns/norms."""
+
+    def __init__(self, cfg: VERConfig):
+        super().__init__()
+        self.attentions = nn.ModuleList([SpatialCrossAttention(
+            cfg.embed_dims, cfg.num_heads, cfg.num_levels,
+            cfg.sca_num_points, cfg.num_cams)])
+        self.ffns = nn.ModuleList([FFN(cfg.embed_dims, cfg.ffn_dim)])
+        self.norms = nn.ModuleList(
+            [nn.LayerNorm(cfg.embed_dims) for _ in range(2)])
+
+    def forward(self, query, key, value, ref_cam, bev_mask, spatial_shapes):
+        query = self.attentions[0](query, key, value, ref_cam, bev_mask,
+                                   spatial_shapes)
+        query = self.norms[0](query)
+        query = self.ffns[0](query)
+        return self.norms[1](query)
+
+
+class Encoder(nn.Module):
+    def __init__(self, cfg: VERConfig):
+        super().__init__()
+        self.layers = nn.ModuleList(
+            [EncoderLayer(cfg) for _ in range(cfg.encoder_layers)])
+        self.cfg = cfg
+
+    @staticmethod
+    def get_reference_points(bev_z, bev_h, bev_w):
+        """'3d' branch (voxel_encoder.py:68-83): (1, Z*H*W, 3) -- wait, the
+        reference returns (bs, D=1? no: shape (1, bev_z, H*W... ) -- it
+        builds (1, Z, H, W) grids, stacks (x, y, z), then permutes/flattens
+        to (1, 3, Z*H*W) -> (1, Z*H*W, 3)?  Per the code: ref_3d ends as
+        (bs, 1, Z*H*W... ) -- we reproduce numerically: normalised voxel
+        centres, flat z-major."""
+        zs = (torch.arange(bev_z, dtype=torch.float32) + 0.5) / bev_z
+        ys = (torch.arange(bev_h, dtype=torch.float32) + 0.5) / bev_h
+        xs = (torch.arange(bev_w, dtype=torch.float32) + 0.5) / bev_w
+        z, y, x = torch.meshgrid(zs, ys, xs, indexing="ij")
+        return torch.stack([x, y, z], -1).reshape(-1, 3)
+
+    def point_sampling(self, ref_3d, pc_range, lidar2img, originshift):
+        """voxel_encoder.py:117-195 with the JSON/pkl reads replaced by
+        tensor args (lidar2img (cams, 4, 4), originshift (3,))."""
+        rp = ref_3d.clone()
+        rp[..., 0:1] = rp[..., 0:1] * (pc_range[3] - pc_range[0]) \
+            + pc_range[0] + originshift[0]
+        rp[..., 1:2] = rp[..., 1:2] * (pc_range[4] - pc_range[1]) \
+            + pc_range[1] + originshift[1]
+        rp[..., 2:3] = rp[..., 2:3] * (pc_range[5] - pc_range[2]) \
+            + pc_range[2] + originshift[2]
+        homo = torch.cat([rp, torch.ones_like(rp[..., :1])], -1)  # (nq, 4)
+        cam = torch.einsum("cij,qj->cqi", lidar2img, homo)
+        eps = 1e-5
+        mask = cam[..., 2:3] > eps
+        xy = cam[..., 0:2] / torch.maximum(
+            cam[..., 2:3], torch.ones_like(cam[..., 2:3]) * eps)
+        xy[..., 0] /= 1280
+        xy[..., 1] /= 1024
+        mask = (mask & (xy[..., 1:2] > 0.0) & (xy[..., 1:2] < 1.0)
+                & (xy[..., 0:1] < 1.0) & (xy[..., 0:1] > 0.0))
+        return xy, mask.squeeze(-1)
+
+    def forward(self, bev_query, key, value, lidar2img, originshift,
+                spatial_shapes):
+        """bev_query (bs, nq, C); key/value (cams, nv, bs, C)."""
+        cfg = self.cfg
+        ref_3d = self.get_reference_points(cfg.bev_z, cfg.bev_h, cfg.bev_w)
+        bs = bev_query.shape[0]
+        # per-sample projection, single z-anchor per voxel query (D == 1)
+        ref_cam, bev_mask = [], []
+        for j in range(bs):
+            xy, m = self.point_sampling(ref_3d, cfg.pc_range,
+                                        lidar2img[j], originshift[j])
+            ref_cam.append(xy)
+            bev_mask.append(m)
+        ref_cam = torch.stack(ref_cam, 1).unsqueeze(3)  # (cams, bs, nq, 1, 2)
+        bev_mask = torch.stack(bev_mask, 1).unsqueeze(-1)  # (cams, bs, nq, 1)
+        out = bev_query
+        for layer in self.layers:
+            out = layer(out, key, value, ref_cam, bev_mask, spatial_shapes)
+        return out
+
+
+class MultiheadAttention(nn.Module):
+    """mmcv wrapper naming (.attn = nn.MultiheadAttention)."""
+
+    def __init__(self, embed_dims, num_heads, dropout=0.1):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(embed_dims, num_heads,
+                                          dropout=dropout)
+
+    def forward(self, query, key, value, query_pos=None, key_pos=None):
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+        if key_pos is not None:
+            key = key + key_pos
+        out = self.attn(query=query, key=key, value=value)[0]
+        return identity + out  # dropouts inert in eval
+
+
+class VoxelCustomMSDeformableAttention(nn.Module):
+    """voxel_decoder.py:135-358 (3D trilinear, batch_first=False)."""
+
+    def __init__(self, embed_dims, num_heads, num_levels, num_points):
+        super().__init__()
+        self.embed_dims, self.num_heads = embed_dims, num_heads
+        self.num_levels, self.num_points = num_levels, num_points
+        self.sampling_offsets = nn.Linear(
+            embed_dims, num_heads * num_levels * num_points * 3)
+        self.attention_weights = nn.Linear(
+            embed_dims, num_heads * num_levels * num_points)
+        self.value_proj = nn.Linear(embed_dims, embed_dims)
+        self.output_proj = nn.Linear(embed_dims, embed_dims)
+
+    def forward(self, query, value, query_pos, reference_points,
+                spatial_shapes):
+        """query (nq, bs, C); value (nv, bs, C); ref (bs, nq, L, 3)."""
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+        query = query.permute(1, 0, 2)
+        value = value.permute(1, 0, 2)
+        bs, nq, _ = query.shape
+        bs, nv, _ = value.shape
+        v = self.value_proj(value).view(bs, nv, self.num_heads, -1)
+        off = self.sampling_offsets(query).view(
+            bs, nq, self.num_heads, self.num_levels, self.num_points, 3)
+        attn = self.attention_weights(query).view(
+            bs, nq, self.num_heads, self.num_levels * self.num_points)
+        attn = attn.softmax(-1).view(bs, nq, self.num_heads,
+                                     self.num_levels, self.num_points)
+        normalizer = torch.tensor([[w, h, d] for (d, h, w) in
+                                   spatial_shapes], dtype=torch.float32)
+        loc = reference_points[:, :, None, :, None, :] \
+            + off / normalizer[None, None, None, :, None, :]
+        out = voxel_deform_attn_3d_torch(v, spatial_shapes, loc, attn)
+        out = self.output_proj(out).permute(1, 0, 2)
+        return out + identity  # dropout inert
+
+
+class DecoderLayer(nn.Module):
+    """mmcv DetrTransformerDecoderLayer naming/op order."""
+
+    def __init__(self, cfg: VERConfig):
+        super().__init__()
+        self.attentions = nn.ModuleList([
+            MultiheadAttention(cfg.embed_dims, cfg.num_heads),
+            VoxelCustomMSDeformableAttention(
+                cfg.embed_dims, cfg.num_heads, cfg.num_levels,
+                cfg.decoder_num_points)])
+        self.ffns = nn.ModuleList([FFN(cfg.embed_dims, cfg.ffn_dim, 0.1)])
+        self.norms = nn.ModuleList(
+            [nn.LayerNorm(cfg.embed_dims) for _ in range(3)])
+
+    def forward(self, query, value, query_pos, reference_points,
+                spatial_shapes):
+        query = self.attentions[0](query, query, query,
+                                   query_pos=query_pos, key_pos=query_pos)
+        query = self.norms[0](query)
+        query = self.attentions[1](query, value, query_pos,
+                                   reference_points, spatial_shapes)
+        query = self.norms[1](query)
+        query = self.ffns[0](query)
+        return self.norms[2](query)
+
+
+class Decoder(nn.Module):
+    """VoxelDetectionTransformerDecoder with box refinement
+    (voxel_decoder.py:53-132)."""
+
+    def __init__(self, cfg: VERConfig):
+        super().__init__()
+        self.layers = nn.ModuleList(
+            [DecoderLayer(cfg) for _ in range(cfg.decoder_layers)])
+
+    def forward(self, query, value, query_pos, reference_points,
+                reg_branches, spatial_shapes):
+        output = query
+        intermediate, inter_refs = [], []
+        for lid, layer in enumerate(self.layers):
+            ref_input = reference_points[..., :3].unsqueeze(2)
+            output = layer(output, value, query_pos, ref_input,
+                           spatial_shapes)
+            out_b = output.permute(1, 0, 2)
+            tmp = reg_branches[lid](out_b)
+            new_ref = torch.zeros_like(reference_points)
+            new_ref[..., :2] = tmp[..., :2] + inverse_sigmoid(
+                reference_points[..., :2])
+            new_ref[..., 2:3] = tmp[..., 4:5] + inverse_sigmoid(
+                reference_points[..., 2:3])
+            reference_points = new_ref.sigmoid().detach()
+            intermediate.append(output)
+            inter_refs.append(reference_points)
+        return torch.stack(intermediate), torch.stack(inter_refs)
+
+
+class VoxelPerceptionTransformer(nn.Module):
+    def __init__(self, cfg: VERConfig):
+        super().__init__()
+        self.cfg = cfg
+        self.level_embeds = nn.Parameter(
+            torch.randn(cfg.num_levels, cfg.embed_dims))
+        self.cams_embeds = nn.Parameter(
+            torch.randn(cfg.num_cams, cfg.embed_dims))
+        self.encoder = Encoder(cfg)
+        self.decoder = Decoder(cfg)
+        self.reference_points = nn.Linear(cfg.embed_dims, 3)
+
+    def get_voxel_features(self, mlvl_feats, bev_queries, lidar2img,
+                           originshift):
+        """mlvl_feats (cams, bs, fh*fw, C) (voxel_transformer.py:118-185)."""
+        cfg = self.cfg
+        num_cam, bs, nv, c = mlvl_feats.shape
+        feat = mlvl_feats + self.cams_embeds[:, None, None, :]
+        feat = feat + self.level_embeds[None, None, 0:1, :]
+        spatial_shapes = [(cfg.feat_h, cfg.feat_w)]
+        # (num_cam, nv, bs, C)
+        feat = feat.permute(0, 2, 1, 3)
+        bev = self.encoder(bev_queries, feat, feat, lidar2img, originshift,
+                           spatial_shapes)
+        return bev
+
+    def forward(self, mlvl_feats, bev_queries, object_query_embed,
+                lidar2img, originshift, reg_branches):
+        cfg = self.cfg
+        voxel_embed = self.get_voxel_features(mlvl_feats, bev_queries,
+                                              lidar2img, originshift)
+        bs = mlvl_feats.shape[1]
+        query_pos, query = torch.split(object_query_embed,
+                                       cfg.embed_dims, dim=1)
+        query_pos = query_pos.unsqueeze(0).expand(bs, -1, -1)
+        query = query.unsqueeze(0).expand(bs, -1, -1)
+        reference_points = self.reference_points(query_pos).sigmoid()
+        init_ref = reference_points
+        query = query.permute(1, 0, 2)
+        query_pos = query_pos.permute(1, 0, 2)
+        value = voxel_embed.permute(1, 0, 2)
+        spatial_shapes = [(cfg.bev_z, cfg.bev_h, cfg.bev_w)]
+        inter_states, inter_refs = self.decoder(
+            query, value, query_pos, reference_points, reg_branches,
+            spatial_shapes)
+        return value, inter_states, init_ref, inter_refs
+
+
+def _cls_branch(cfg: VERConfig):
+    mods = []
+    for _ in range(cfg.num_reg_fcs):
+        mods += [nn.Linear(cfg.embed_dims, cfg.embed_dims),
+                 nn.LayerNorm(cfg.embed_dims), nn.ReLU(inplace=True)]
+    mods.append(nn.Linear(cfg.embed_dims, cfg.num_classes))
+    return nn.Sequential(*mods)
+
+
+def _reg_branch(cfg: VERConfig):
+    mods = []
+    for _ in range(cfg.num_reg_fcs):
+        mods += [nn.Linear(cfg.embed_dims, cfg.embed_dims), nn.ReLU()]
+    mods.append(nn.Linear(cfg.embed_dims, cfg.code_size))
+    return nn.Sequential(*mods)
+
+
+class VoxelLearnedPositionalEncoding(nn.Module):
+    def __init__(self, cfg: VERConfig):
+        super().__init__()
+        self.row_embed = nn.Embedding(cfg.bev_h, cfg.embed_dims)
+        self.col_embed = nn.Embedding(cfg.bev_w, cfg.embed_dims)
+        self.z_embed = nn.Embedding(cfg.bev_z, cfg.embed_dims)
+
+
+class OracleHead(nn.Module):
+    """VoxelFormerOccupancyHead default branch (head:534-625)."""
+
+    def __init__(self, cfg: VERConfig):
+        super().__init__()
+        self.cfg = cfg
+        self.transformer = VoxelPerceptionTransformer(cfg)
+        self.positional_encoding = VoxelLearnedPositionalEncoding(cfg)
+        self.voxel_embedding = nn.Embedding(cfg.bev_num, cfg.embed_dims)
+        self.query_embedding = nn.Embedding(cfg.num_query,
+                                            cfg.embed_dims * 2)
+        self.query_layout_embedding = nn.Embedding(cfg.num_layout_query,
+                                                   cfg.embed_dims * 2)
+        n = cfg.decoder_layers
+        self.cls_branches = nn.ModuleList(
+            [_cls_branch(cfg) for _ in range(n)])
+        self.reg_branches = nn.ModuleList(
+            [_reg_branch(cfg) for _ in range(n)])
+        self.layout_branches = nn.ModuleList(
+            [_reg_branch(cfg) for _ in range(n)])
+        if cfg.bev_z == cfg.occ_zdim:
+            self.occ_proj = nn.Linear(cfg.embed_dims, cfg.occ_dims)
+        else:
+            self.occ_proj = nn.Linear(cfg.bev_z * cfg.embed_dims,
+                                      cfg.occ_dims * cfg.occ_zdim)
+        occ = []
+        for _ in range(cfg.num_occ_fcs):
+            occ += [nn.Linear(cfg.occ_dims, cfg.occ_dims),
+                    nn.LayerNorm(cfg.occ_dims), nn.ReLU(inplace=True)]
+        occ.append(nn.Linear(cfg.occ_dims, cfg.occupancy_classes))
+        self.occ_branches = nn.Sequential(*occ)
+        if cfg.refine_occ:
+            ratio = cfg.occ_xdim // cfg.bev_w
+            stages = max(int(round(math.log2(ratio))), 0)
+            c = cfg.embed_dims
+            self.up_sample = nn.Sequential(*[
+                nn.ConvTranspose3d(c, c, (3, 5, 5), stride=(1, 2, 2),
+                                   padding=(2, 4, 4), dilation=(2, 2, 2),
+                                   output_padding=(0, 1, 1))
+                for _ in range(stages)])
+
+    def forward(self, mlvl_feats, lidar2img, originshift):
+        """mlvl_feats (cams, bs, fh*fw, C) — the dataset contract
+        (voxelformer.py:282-300, CLS row already stripped)."""
+        cfg = self.cfg
+        bs = mlvl_feats.shape[1]
+        object_query_embeds = self.query_embedding.weight
+        voxel_queries = self.voxel_embedding.weight
+        bev_queries = voxel_queries.unsqueeze(0).repeat(bs, 1, 1)
+
+        bev_embed, hs, init_reference, inter_references = self.transformer(
+            mlvl_feats, bev_queries, object_query_embeds, lidar2img,
+            originshift, self.reg_branches)
+        # bev_embed: (bev_num, bs, C); hs: (L, nq, bs, C)
+
+        # occupancy branch, refine_occ (head:554-580) — raw .views verbatim
+        bev_for_occ = bev_embed
+        if cfg.refine_occ:
+            t = bev_for_occ.reshape(bs, cfg.embed_dims, cfg.bev_z,
+                                    cfg.bev_h, cfg.bev_w)
+            t = self.up_sample(t)
+            bev_for_occ = t.reshape(bs, cfg.bev_z, cfg.occ_xdim,
+                                    cfg.occ_ydim, cfg.embed_dims)
+        else:
+            bev_for_occ = bev_for_occ.reshape(bs, cfg.bev_z, cfg.bev_h,
+                                              cfg.bev_w, cfg.embed_dims)
+        if cfg.bev_z == cfg.occ_zdim:
+            occ_pred = self.occ_proj(bev_for_occ)
+        else:
+            bev_for_occ = bev_for_occ.permute(0, 2, 3, 1, 4).flatten(3)
+            occ_pred = self.occ_proj(bev_for_occ)
+            if cfg.refine_occ:
+                occ_pred = occ_pred.view(bs, cfg.occ_xdim, cfg.occ_ydim,
+                                         cfg.occ_zdim, cfg.occ_dims)
+            else:
+                occ_pred = occ_pred.view(bs, cfg.bev_h, cfg.bev_w,
+                                         cfg.occ_zdim, cfg.occ_dims)
+            occ_pred = occ_pred.permute(0, 3, 1, 2, 4)
+        occ_pred = occ_pred.reshape(bs, -1, cfg.occ_dims)
+        outputs_occupancy = self.occ_branches(occ_pred)
+
+        hs = hs.permute(0, 2, 1, 3)
+        outputs_classes, outputs_coords = [], []
+        pc = cfg.pc_range
+        for lvl in range(hs.shape[0]):
+            reference = init_reference if lvl == 0 \
+                else inter_references[lvl - 1]
+            reference = inverse_sigmoid(reference)
+            outputs_class = self.cls_branches[lvl](hs[lvl])
+            tmp = self.reg_branches[lvl](hs[lvl])
+            tmp = tmp.clone()
+            tmp[..., 0:2] = tmp[..., 0:2] + reference[..., 0:2]
+            tmp[..., 0:2] = tmp[..., 0:2].sigmoid()
+            tmp[..., 4:5] = tmp[..., 4:5] + reference[..., 2:3]
+            tmp[..., 4:5] = tmp[..., 4:5].sigmoid()
+            tmp[..., 0:1] = tmp[..., 0:1] * (pc[3] - pc[0]) + pc[0]
+            tmp[..., 1:2] = tmp[..., 1:2] * (pc[4] - pc[1]) + pc[1]
+            tmp[..., 4:5] = tmp[..., 4:5] * (pc[5] - pc[2]) + pc[2]
+            outputs_classes.append(outputs_class)
+            outputs_coords.append(tmp)
+
+        return {
+            "bev_embed": bev_embed,
+            "all_cls_scores": torch.stack(outputs_classes),
+            "all_bbox_preds": torch.stack(outputs_coords),
+            "occupancy_preds": outputs_occupancy,
+        }
+
+
+class OracleVoxelFormer(nn.Module):
+    """Detector wrapper so state_dict keys carry the ``pts_bbox_head.``
+    prefix like a real reference checkpoint."""
+
+    def __init__(self, cfg: VERConfig):
+        super().__init__()
+        self.pts_bbox_head = OracleHead(cfg)
+
+    @torch.no_grad()
+    def forward(self, mlvl_feats, lidar2img, originshift):
+        self.eval()
+        return self.pts_bbox_head(mlvl_feats, lidar2img, originshift)

@@ -40,6 +40,8 @@ def main():
     args = parse_args()
     from vln_ver_tpu.utils.platform import apply_platform_env
     apply_platform_env()
+    from vln_ver_tpu.parallel import multihost
+    multihost.initialize_if_needed()
     import h5py
     import jax
 
@@ -95,10 +97,15 @@ def main():
                            only_bev=True)["bev_embed"]
 
     n = min(len(dataset), args.limit or len(dataset))
+    # multi-process: contiguous shard per process, one HDF5 shard file each
+    # (HDF5 has no concurrent writers); single-process path unchanged
+    indices = multihost.shard_indices(n)
+    if multihost.process_count() > 1:
+        savename = f"{savename}.shard{multihost.process_index()}"
     written = 0
     with h5py.File(savename, "a") as outf:
         for batch in iterate_batches(dataset, args.batch_size,
-                                     indices=range(n), drop_last=False):
+                                     indices=indices, drop_last=False):
             bev = np.asarray(bev_only(params, batch["features"],
                                       batch["world2pixel"],
                                       batch["origin_shift"]))

@@ -40,6 +40,8 @@ def main():
     args = parse_args()
     from vln_ver_tpu.utils.platform import apply_platform_env
     apply_platform_env()
+    from vln_ver_tpu.parallel.multihost import initialize_if_needed
+    initialize_if_needed()
     import jax
 
     from vln_ver_tpu.config import build_ver_config, load_config

@@ -34,7 +34,9 @@ def parse_args():
                    help="generate a synthetic dataset if ann files missing")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--log-interval", type=int, default=None,
+                   help="default: the config's log_config.interval "
+                        "(vocc.py:286), else 50")
     p.add_argument("--ckpt-interval", type=int, default=1000)
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run val-split eval every N steps (0 = off)")
@@ -61,6 +63,8 @@ def main():
     args = parse_args()
     from vln_ver_tpu.utils.platform import apply_platform_env
     apply_platform_env()
+    from vln_ver_tpu.parallel.multihost import initialize_if_needed
+    initialize_if_needed()
     import jax
 
     from vln_ver_tpu.config import (build_train_config, build_ver_config,
@@ -161,12 +165,39 @@ def main():
     sched = make_lr_schedule(tc)
     rng = jax.random.PRNGKey(args.seed + 1)
 
+    # honor the reference's log_config (interval + TextLogger/Tensorboard
+    # hooks, vocc.py:286-291): jsonl+stdout are the TextLogger equivalent;
+    # a TensorboardLoggerHook entry turns on the native event writer
+    log_cfg = cfg.get("log_config", {}) or {}
+    log_interval = args.log_interval or int(log_cfg.get("interval", 50))
+    tb_writer = None
+    hooks = log_cfg.get("hooks", []) or []
+    if any("Tensorboard" in str(h.get("type", "")) for h in hooks
+           if isinstance(h, dict)):
+        from vln_ver_tpu.utils.tensorboard import SummaryWriter
+        tb_writer = SummaryWriter(os.path.join(args.work_dir, "tf_logs"))
+        print(f"tensorboard events -> {tb_writer.path}")
+
+    # checkpoint metadata parity (reference tools/train.py:238-248 embeds
+    # config text + CLASSES in checkpoints)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(args.config) as f:
+        _cfg_text = f.read()
+    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump({"config": _cfg_text,
+                   "CLASSES": list(cfg.get("class_names", ())
+                                   or cfg.get("data", {}).get(
+                                       "train", {}).get("classes", ()))},
+                  f)
+
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
     logf = open(log_path, "a")
     t0 = time.perf_counter()
     step = start_step
     epoch = 0
     best_metric = float("-inf")
+    val_ds = None
+    val_kw = {}
     with mesh:
         while step < total_steps:
             # deterministic per-epoch shuffle (the reference's
@@ -183,13 +214,17 @@ def main():
                 state, metrics = step_fn(state, sharded,
                                          jax.random.fold_in(rng, step))
                 step += 1
-                if step % args.log_interval == 0 or step == total_steps:
+                if step % log_interval == 0 or step == total_steps:
                     m = {k: float(v) for k, v in metrics.items()}
                     m.update(step=step, lr=float(sched(step)),
                              sec_per_step=(time.perf_counter() - t0)
                              / max(step - start_step, 1))
                     logf.write(json.dumps(m) + "\n")
                     logf.flush()
+                    if tb_writer is not None:
+                        tb_writer.add_scalars(
+                            {f"train/{k}": v for k, v in m.items()}, step)
+                        tb_writer.flush()
                     print(f"step {step}: loss={m['loss']:.4f} "
                           f"cls={m.get('loss_cls', 0):.4f} "
                           f"bbox={m.get('loss_bbox', 0):.4f} "
@@ -200,14 +235,18 @@ def main():
                 if args.eval_interval and (step % args.eval_interval == 0
                                            or step == total_steps):
                     from vln_ver_tpu.evaluation.runner import evaluate_model
-                    val_kw = dataset_kwargs(cfg, "val") or dataset_kwargs(
-                        cfg, "test")
-                    if val_kw and os.path.exists(val_kw["ann_file"]):
-                        val_ds = MP3DDataset(
-                            val_kw["ann_file"], val_kw["data_root"],
-                            voxel_num=ver.voxel_num,
-                            occupancy_classes=ver.occupancy_classes,
-                            num_cams=ver.num_cams, feat_hw=ver.feat_h)
+                    # hoisted: construct the val dataset (HDF5 open, cache
+                    # warm) once, not per eval tick
+                    if val_ds is None:
+                        val_kw = dataset_kwargs(cfg, "val") or \
+                            dataset_kwargs(cfg, "test")
+                        if val_kw and os.path.exists(val_kw["ann_file"]):
+                            val_ds = MP3DDataset(
+                                val_kw["ann_file"], val_kw["data_root"],
+                                voxel_num=ver.voxel_num,
+                                occupancy_classes=ver.occupancy_classes,
+                                num_cams=ver.num_cams, feat_hw=ver.feat_h)
+                    if val_ds is not None:
                         em = evaluate_model(
                             model, jax.device_get(state.params), val_ds,
                             limit=args.eval_limit,
@@ -220,6 +259,11 @@ def main():
                         print("eval:", keep)
                         logf.write(json.dumps(keep) + "\n")
                         logf.flush()
+                        if tb_writer is not None:
+                            tb_writer.add_scalars(
+                                {f"val/{k}": v for k, v in keep.items()},
+                                step)
+                            tb_writer.flush()
                         if args.save_best and args.save_best in em:
                             cur = float(em[args.save_best])
                             if cur > best_metric:

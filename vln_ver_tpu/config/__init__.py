@@ -1,2 +1,2 @@
-from .api import (Config, build_train_config, build_ver_config,  # noqa: F401
-                  load_config)
+from .api import (Config, apply_cfg_options,  # noqa: F401
+                  build_train_config, build_ver_config, load_config)

@@ -111,9 +111,13 @@ def build_ver_config(cfg: Config, **overrides) -> VERConfig:
     enc = tr.get("encoder", {})
     dec = tr.get("decoder", {}) or {}
     enc_layer = enc.get("transformerlayers", {})
+    dec_layer = dec.get("transformerlayers", {})
     sca = _get(enc_layer, "attn_cfgs", default=[{}])
     sca = sca[0] if isinstance(sca, list) and sca else {}
     deform = sca.get("deformable_attention", {})
+    dec_attns = dec_layer.get("attn_cfgs", []) or []
+    dec_mha = dec_attns[0] if len(dec_attns) > 0 else {}
+    dec_deform = dec_attns[1] if len(dec_attns) > 1 else {}
 
     pc_range = tuple(head.get("point_cloud_range",
                               cfg.get("point_cloud_range",
@@ -130,6 +134,11 @@ def build_ver_config(cfg: Config, **overrides) -> VERConfig:
         sca_num_points=deform.get("num_points", VERConfig.sca_num_points),
         num_levels=deform.get("num_levels", VERConfig.num_levels),
         decoder_layers=dec.get("num_layers", VERConfig.decoder_layers),
+        decoder_num_points=dec_deform.get("num_points",
+                                          VERConfig.decoder_num_points),
+        num_heads=dec_mha.get("num_heads",
+                              deform.get("num_heads",
+                                         VERConfig.num_heads)),
         ffn_dim=enc_layer.get("feedforward_channels", VERConfig.ffn_dim),
         num_query=head.get("num_query", VERConfig.num_query),
         num_classes=head.get("num_classes", VERConfig.num_classes),
@@ -141,6 +150,32 @@ def build_ver_config(cfg: Config, **overrides) -> VERConfig:
         add_layout=head.get("add_layout", False),
         refine_occ=head.get("refine_occ", VERConfig.refine_occ),
         with_box_refine=head.get("with_box_refine", True),
+        occ_loss_type=head.get("occ_loss_type", VERConfig.occ_loss_type),
+        occ_layout=head.get("occ_layout", VERConfig.occ_layout),
+        num_layout_query=head.get("num_layout_query",
+                                  VERConfig.num_layout_query),
+        code_size=head.get("code_size", VERConfig.code_size),
+        layout_range=tuple(head.get("layout_range",
+                                    VERConfig.layout_range)),
+        num_reg_fcs=head.get("num_reg_fcs", VERConfig.num_reg_fcs),
+        num_occ_fcs=head.get("num_occ_fcs", VERConfig.num_occ_fcs),
+        bbox_max_num=_get(head, "bbox_coder", "max_num",
+                          default=VERConfig.bbox_max_num),
+        post_center_range=tuple(_get(
+            head, "bbox_coder", "post_center_range",
+            default=VERConfig.post_center_range)),
+        decoder_on_bev=tr.get("decoder_on_bev", VERConfig.decoder_on_bev),
+        voxel_2_bev_type=tr.get("voxel_2_bev_type",
+                                VERConfig.voxel_2_bev_type),
+        dropout_rate=enc_layer.get("ffn_dropout", VERConfig.dropout_rate),
+        loss_cls_weight=_get(head, "loss_cls", "loss_weight",
+                             default=VERConfig.loss_cls_weight),
+        loss_bbox_weight=_get(head, "loss_bbox", "loss_weight",
+                              default=VERConfig.loss_bbox_weight),
+        loss_occ_weight=_get(head, "loss_occupancy", "loss_weight",
+                             default=VERConfig.loss_occ_weight),
+        loss_layout_weight=_get(head, "loss_layout", "loss_weight",
+                                default=VERConfig.loss_layout_weight),
         # input-shape keys (not expressible in reference configs, which
         # hard-code 6x14x14x768 — voxelformer.py:287-289, 146): our configs
         # may set them top-level

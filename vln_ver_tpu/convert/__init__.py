@@ -1,0 +1,3 @@
+from .voxelformer import convert_state_dict, load_torch_checkpoint
+
+__all__ = ["convert_state_dict", "load_torch_checkpoint"]

@@ -1,0 +1,260 @@
+"""Reference (torch) VoxelFormer checkpoint -> flax param-tree converter.
+
+Maps the reference model's ``state_dict`` names (detector
+``voxelformer.py``, head ``voxelformer_occupancy_head.py:180-258``,
+transformer ``voxel_transformer.py:78-96``, encoder ``voxel_encoder.py``
+via mmcv ``MyCustomBaseTransformerLayer`` naming, decoder
+``voxel_decoder.py:135-229`` + mmcv ``DetrTransformerDecoderLayer``) onto
+this repo's flax tree (models/{detector,head,transformer,encoder,decoder,
+attention,positional}.py).
+
+Conventions:
+  * torch ``nn.Linear`` weight is (out, in); flax Dense kernel is
+    (in, out) -> transpose.
+  * torch ``nn.LayerNorm`` weight -> flax ``scale``.
+  * torch ``nn.MultiheadAttention`` packs q/k/v in ``in_proj_weight``
+    (3E, E); flax MultiHeadDotProductAttention uses per-projection
+    kernels (E, H, D).
+  * torch ``nn.ConvTranspose3d`` weight is (in, out, kD, kH, kW); our
+    upsampler kernel is the correlation form (kD, kH, kW, in, out)
+    **spatially flipped** (transposed conv == flipped-kernel correlation;
+    mapping verified to 1e-7 against torch in
+    tests/test_convert_voxelformer.py).
+
+The reference checkpoint also contains ``img_backbone.*`` / ``img_neck.*``
+(ResNet+FPN) — dead on the active MP3D path (the dataset supplies
+precomputed ViT features, voxelformer.py:282-289) — and loss buffers
+(``code_weights``); both are skipped.  ``convert_state_dict`` returns the
+mapped tree plus the list of skipped keys so callers can assert nothing
+load-bearing was dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..models.config import VERConfig
+
+# state_dict keys that exist in the reference but carry no forward
+# semantics on the active path
+_SKIP_PREFIXES = ("img_backbone.", "img_neck.")
+_SKIP_KEYS = ("pts_bbox_head.code_weights",)
+
+
+def _lin(sd: Dict[str, np.ndarray], name: str) -> dict:
+    return {"kernel": np.ascontiguousarray(sd[name + ".weight"].T),
+            "bias": np.asarray(sd[name + ".bias"])}
+
+
+def _ln(sd: Dict[str, np.ndarray], name: str) -> dict:
+    return {"scale": np.asarray(sd[name + ".weight"]),
+            "bias": np.asarray(sd[name + ".bias"])}
+
+
+def _mha(sd: Dict[str, np.ndarray], name: str, num_heads: int) -> dict:
+    """mmcv MultiheadAttention wrapper (``.attn`` = nn.MultiheadAttention)
+    -> flax MultiHeadDotProductAttention tree."""
+    w = np.asarray(sd[name + ".attn.in_proj_weight"])   # (3E, E)
+    b = np.asarray(sd[name + ".attn.in_proj_bias"])     # (3E,)
+    e = w.shape[1]
+    d = e // num_heads
+    qw, kw, vw = np.split(w, 3, axis=0)
+    qb, kb, vb = np.split(b, 3, axis=0)
+
+    def proj(wmat, bvec):
+        return {"kernel": np.ascontiguousarray(
+                    wmat.T.reshape(e, num_heads, d)),
+                "bias": bvec.reshape(num_heads, d)}
+
+    ow = np.asarray(sd[name + ".attn.out_proj.weight"])  # (E, E)
+    ob = np.asarray(sd[name + ".attn.out_proj.bias"])
+    return {
+        "attn": {
+            "query": proj(qw, qb),
+            "key": proj(kw, kb),
+            "value": proj(vw, vb),
+            "out": {"kernel": np.ascontiguousarray(
+                        ow.T.reshape(num_heads, d, e)),
+                    "bias": ob},
+        }
+    }
+
+
+def _conv_t3d(sd: Dict[str, np.ndarray], name: str) -> dict:
+    """torch ConvTranspose3d -> _UpStage correlation kernel."""
+    w = np.asarray(sd[name + ".weight"])  # (in, out, kD, kH, kW)
+    k = w.transpose(2, 3, 4, 0, 1)[::-1, ::-1, ::-1]
+    return {"kernel": np.ascontiguousarray(k),
+            "bias": np.asarray(sd[name + ".bias"])}
+
+
+def _seq_lnrelu(sd, base: str, num_fcs: int) -> dict:
+    """(Linear, LN, ReLU) x n + Linear sequential (cls/occ branches,
+    head:183-189/242-248): torch indices 0,1,3,4,...,3n."""
+    out = {}
+    for i in range(num_fcs):
+        out[f"fc{i}"] = _lin(sd, f"{base}.{3 * i}")
+        out[f"ln{i}"] = _ln(sd, f"{base}.{3 * i + 1}")
+    out["out"] = _lin(sd, f"{base}.{3 * num_fcs}")
+    return out
+
+
+def _seq_relu(sd, base: str, num_fcs: int) -> dict:
+    """(Linear, ReLU) x n + Linear (reg/layout branches,
+    head:191-203): torch indices 0,2,...,2n."""
+    out = {}
+    for i in range(num_fcs):
+        out[f"fc{i}"] = _lin(sd, f"{base}.{2 * i}")
+    out["out"] = _lin(sd, f"{base}.{2 * num_fcs}")
+    return out
+
+
+def _deform(sd, base: str, with_output_proj: bool) -> dict:
+    out = {
+        "value_proj": _lin(sd, base + ".value_proj"),
+        "sampling_offsets": _lin(sd, base + ".sampling_offsets"),
+        "attention_weights": _lin(sd, base + ".attention_weights"),
+    }
+    if with_output_proj:
+        out["output_proj"] = _lin(sd, base + ".output_proj")
+    return out
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray], cfg: VERConfig
+                       ) -> Tuple[dict, List[str]]:
+    """Reference state_dict (torch names -> numpy arrays) -> this repo's
+    ``params['params']`` tree for ``VoxelFormer``.
+
+    Returns (params_tree, skipped_keys).  Raises KeyError on any expected
+    reference key that is absent, so silent partial conversion is
+    impossible.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    consumed = set()
+
+    orig_get = sd.__getitem__
+
+    class _Track(dict):
+        def __getitem__(self, k):
+            consumed.add(k)
+            return orig_get(k)
+
+        def __contains__(self, k):
+            return k in sd
+
+    tsd = _Track(sd)
+
+    h = "pts_bbox_head"
+    head: dict = {}
+
+    head["voxel_embedding"] = tsd[f"{h}.voxel_embedding.weight"]
+    head["positional_encoding"] = {
+        "row_embed": tsd[f"{h}.positional_encoding.row_embed.weight"],
+        "col_embed": tsd[f"{h}.positional_encoding.col_embed.weight"],
+        "z_embed": tsd[f"{h}.positional_encoding.z_embed.weight"],
+    }
+
+    if not cfg.only_occ:
+        head["query_embedding"] = tsd[f"{h}.query_embedding.weight"]
+        head["query_layout_embedding"] = tsd[
+            f"{h}.query_layout_embedding.weight"]
+        for l in range(cfg.decoder_layers):
+            head[f"cls_branch_{l}"] = _seq_lnrelu(
+                tsd, f"{h}.cls_branches.{l}", cfg.num_reg_fcs)
+        if cfg.add_layout:
+            for l in range(cfg.decoder_layers):
+                head[f"layout_branch_{l}"] = _seq_relu(
+                    tsd, f"{h}.layout_branches.{l}", cfg.num_reg_fcs)
+
+    if not cfg.only_det:
+        head["occ_proj"] = _lin(tsd, f"{h}.occ_proj")
+        head["occ_branches"] = _seq_lnrelu(
+            tsd, f"{h}.occ_branches", cfg.num_occ_fcs)
+        if cfg.refine_occ:
+            up = {}
+            i = 0
+            while f"{h}.up_sample.{i}.weight" in tsd:
+                up[f"up{i}"] = _conv_t3d(tsd, f"{h}.up_sample.{i}")
+                i += 1
+            head["up_sample"] = up
+
+    # -- transformer ---------------------------------------------------
+    t = f"{h}.transformer"
+    tr: dict = {
+        "cams_embeds": tsd[f"{t}.cams_embeds"],
+        "level_embeds": tsd[f"{t}.level_embeds"],
+    }
+    for i in range(cfg.encoder_layers):
+        el = f"{t}.encoder.layers.{i}"
+        tr.setdefault("encoder", {})[f"layer_{i}"] = {
+            "cross_attn": {
+                "deformable_attention": _deform(
+                    tsd, f"{el}.attentions.0.deformable_attention",
+                    with_output_proj=False),
+                "output_proj": _lin(tsd, f"{el}.attentions.0.output_proj"),
+            },
+            "norm1": _ln(tsd, f"{el}.norms.0"),
+            "ffn": {"fc1": _lin(tsd, f"{el}.ffns.0.layers.0.0"),
+                    "fc2": _lin(tsd, f"{el}.ffns.0.layers.1")},
+            "norm2": _ln(tsd, f"{el}.norms.1"),
+        }
+
+    if not cfg.only_occ:
+        tr["reference_points"] = _lin(tsd, f"{t}.reference_points")
+        for i in range(cfg.decoder_layers):
+            dl = f"{t}.decoder.layers.{i}"
+            tr.setdefault("decoder", {})[f"layer_{i}"] = {
+                "self_attn": _mha(tsd, f"{dl}.attentions.0",
+                                  cfg.num_heads),
+                "norm1": _ln(tsd, f"{dl}.norms.0"),
+                "cross_attn": _deform(tsd, f"{dl}.attentions.1",
+                                      with_output_proj=True),
+                "norm2": _ln(tsd, f"{dl}.norms.1"),
+                "ffn": {"fc1": _lin(tsd, f"{dl}.ffns.0.layers.0.0"),
+                        "fc2": _lin(tsd, f"{dl}.ffns.0.layers.1")},
+                "norm3": _ln(tsd, f"{dl}.norms.2"),
+            }
+            # reg branches live inside our transformer (decoder-side
+            # refinement); reference keeps them on the head
+            tr[f"reg_branch_{i}"] = _seq_relu(
+                tsd, f"{h}.reg_branches.{i}", cfg.num_reg_fcs)
+        if cfg.decoder_on_bev and cfg.voxel_2_bev_type == "mlp":
+            tr["voxel2bev"] = {
+                "layers_0": _lin(tsd, f"{t}.voxel2bev.0"),
+                "layers_1": _ln(tsd, f"{t}.voxel2bev.1"),
+                "layers_3": _lin(tsd, f"{t}.voxel2bev.3"),
+                "layers_4": _ln(tsd, f"{t}.voxel2bev.4"),
+            }
+
+    head["transformer"] = tr
+
+    skipped = sorted(set(sd) - consumed)
+    # fail loudly on unexpected leftovers (anything not a known-dead key)
+    unexpected = [
+        k for k in skipped
+        if not k.startswith(_SKIP_PREFIXES) and k not in _SKIP_KEYS
+        # reg branches beyond decoder_layers exist when as_two_stage
+        and not k.startswith(f"{h}.layout_branches.")
+        and "num_batches_tracked" not in k
+    ]
+    if unexpected:
+        raise KeyError(
+            "convert_state_dict: unmapped reference keys "
+            f"(first 10): {unexpected[:10]}")
+    return {"pts_bbox_head": head}, skipped
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference .pth checkpoint into a name->numpy dict.
+
+    Handles the mmcv checkpoint format ({'state_dict': ..., 'meta': ...})
+    as written by the reference tools/train.py.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else
+            np.asarray(v) for k, v in sd.items()}

@@ -2,8 +2,20 @@
 
 Used by tools/test.py and as the in-training eval hook (the reference's
 CustomDistEvalHook + custom_multi_gpu_test, eval every 20 epochs —
-vocc.py:282).  Multi-process eval shards the dataset in contiguous blocks
-and allgathers results (parallel/multihost.py).
+vocc.py:282).
+
+Multi-process: the dataset is sharded in contiguous blocks per process
+(parallel/multihost.shard_indices — the reference's
+samplers/distributed_sampler.py:36-39 semantics), occupancy confusion
+histograms are sum-reduced, and the (static-shape, validity-masked)
+detection/layout results are allgathered (the reference's
+apis/test.py:202-246 result collection), so every process computes the
+same final metrics as a single-process run over the full split.
+
+Memory: occupancy logits are decoded and folded into per-threshold
+confusion histograms inside the batch loop — raw logits
+(504k x 17 fp32 = 34 MB/sample) are never retained, so eval RAM is flat in
+the number of viewpoints.
 """
 
 from __future__ import annotations
@@ -17,7 +29,8 @@ import numpy as np
 from ..coders import decode_boxes
 from ..data.mp3d import MP3DDataset, iterate_batches
 from ..models import VoxelFormer
-from ..occupancy import decode_occupancy_focal
+from ..occupancy import decode_occupancy, occupancy_num_classes
+from ..parallel import multihost
 from .indoor_eval import indoor_eval
 from .ssc_metrics import SSCMetrics
 
@@ -26,7 +39,8 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
                    occ_thresholds: Sequence[float] = (0.25,),
                    limit: Optional[int] = None,
                    batch_size: int = 1,
-                   classes: Sequence[str] = ()) -> Dict[str, float]:
+                   classes: Sequence[str] = (),
+                   shard: bool = True) -> Dict[str, float]:
     cfg = model.cfg
 
     @jax.jit
@@ -36,16 +50,25 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
         dec = None
         if outs.get("all_cls_scores") is not None:
             dec = jax.vmap(lambda c, b: decode_boxes(
-                c, b, max_num=50, num_classes=cfg.num_classes))(
+                c, b, max_num=cfg.bbox_max_num,
+                num_classes=cfg.num_classes,
+                post_center_range=cfg.post_center_range))(
                     outs["all_cls_scores"][-1], outs["all_bbox_preds"][-1])
         layouts = outs.get("all_layout_preds")
         layouts = layouts[-1] if layouts is not None else None
         return occ, dec, layouts
 
     n = min(len(dataset), limit or len(dataset))
-    occ_logits, occ_gts, occ_vis, pred_annos, gt_annos = [], [], [], [], []
-    layout_ious = []
-    for batch in iterate_batches(dataset, batch_size, indices=range(n),
+    indices = multihost.shard_indices(n) if shard else range(n)
+    per = multihost.shard_size(n) if shard else n
+
+    n_occ_cls = occupancy_num_classes(cfg.occupancy_classes,
+                                      cfg.occ_loss_type)
+    ssc = {thr: SSCMetrics(n_occ_cls) for thr in occ_thresholds}
+    # static-shape per-sample result rows (gatherable across processes)
+    pred_rows, gt_rows, layout_rows = [], [], []
+
+    for batch in iterate_batches(dataset, batch_size, indices=indices,
                                  drop_last=False):
         occ, dec, layout_preds = forward(params, batch["features"],
                                          batch["world2pixel"],
@@ -56,43 +79,85 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
             from .indoor_eval import box3d_iou
             for i in range(bsz):
                 if not bool(np.asarray(batch["layout_valid"][i]).any()):
+                    layout_rows.append(np.float32(np.nan))
                     continue
                 ldec = decode_layouts(jnp.asarray(layout_preds[i]))
                 gtl = np.asarray(batch["gt_layout"][i][0][:7])
                 ious = [box3d_iou(np.asarray(b)[:7], gtl)
                         for b, v in zip(ldec.bboxes, np.asarray(ldec.valid))
                         if v]
-                layout_ious.append(max(ious) if ious else 0.0)
+                layout_rows.append(np.float32(max(ious) if ious else 0.0))
         for i in range(bsz):
             if occ is not None and "occ_dense" in batch:
-                occ_logits.append(np.asarray(occ[i]))
-                occ_gts.append(np.asarray(batch["occ_dense"][i]))
-                occ_vis.append(np.asarray(batch["occ_visible"][i])
-                               if "occ_visible" in batch else None)
+                # decode + histogram NOW; never retain logits
+                logits = jnp.asarray(occ[i])
+                gt = np.asarray(batch["occ_dense"][i])
+                vis = (np.asarray(batch["occ_visible"][i])
+                       if "occ_visible" in batch else None)
+                for thr in occ_thresholds:
+                    pred = np.asarray(decode_occupancy(
+                        logits, thr, loss_type=cfg.occ_loss_type))
+                    ssc[thr].add_batch(pred, gt, visible_mask=vis)
             if dec is not None and "gt_boxes" in batch:
-                gtv = np.asarray(batch["gt_valid"][i])
-                gt_annos.append({
-                    "boxes": np.asarray(batch["gt_boxes"][i])[gtv][:, :7],
-                    "labels": np.asarray(batch["gt_labels"][i])[gtv]})
-                valid = np.asarray(dec.valid[i])
-                pred_annos.append({
-                    "boxes": np.asarray(dec.bboxes[i])[valid][:, :7],
-                    "labels": np.asarray(dec.labels[i])[valid],
-                    "scores": np.asarray(dec.scores[i])[valid]})
+                gt_rows.append((
+                    np.asarray(batch["gt_boxes"][i], np.float32),
+                    np.asarray(batch["gt_labels"][i], np.int32),
+                    np.asarray(batch["gt_valid"][i], bool)))
+                pred_rows.append((
+                    np.asarray(dec.bboxes[i], np.float32),
+                    np.asarray(dec.labels[i], np.int32),
+                    np.asarray(dec.scores[i], np.float32),
+                    np.asarray(dec.valid[i], bool)))
+
+    # -- cross-process merge --------------------------------------------
+    def _gather_tuplelist(rows, n_fields):
+        if not rows and multihost.process_count() == 1:
+            return []
+        fields = []
+        for f in range(n_fields):
+            arr = (np.stack([r[f] for r in rows])
+                   if rows else None)
+            fields.append(arr)
+        if multihost.process_count() == 1:
+            return rows
+        # need concrete shapes even when this shard is empty: broadcast
+        # shapes are data-independent, so derive from any non-empty shard
+        # via a shape handshake is avoidable — shards are contiguous and
+        # only the LAST process can be short, so process 0 always has rows.
+        gathered = []
+        for f in range(n_fields):
+            arr = fields[f]
+            if arr is None:
+                raise RuntimeError(
+                    "empty non-final shard in sharded eval (n < processes?)"
+                    " — run with shard=False or more data")
+            gathered.append(multihost.allgather_results(arr, per))
+        return list(zip(*gathered))
+
+    if multihost.process_count() > 1:
+        for thr in occ_thresholds:
+            ssc[thr].hist = multihost.allreduce_sum(ssc[thr].hist)
+        pred_rows = _gather_tuplelist(pred_rows, 4)
+        gt_rows = _gather_tuplelist(gt_rows, 3)
+        layout_arr = np.asarray(layout_rows, np.float32)
+        layout_rows = multihost.allgather_results(layout_arr, per) \
+            if layout_rows or multihost.process_count() > 1 else []
 
     metrics: Dict[str, float] = {}
-    if gt_annos:
+    if gt_rows:
+        gt_annos = [{"boxes": b[v][:, :7], "labels": l[v]}
+                    for (b, l, v) in gt_rows]
+        pred_annos = [{"boxes": b[v][:, :7], "labels": l[v],
+                       "scores": s[v]}
+                      for (b, l, s, v) in pred_rows]
         metrics.update(indoor_eval(gt_annos, pred_annos,
                                    classes=tuple(classes)))
-    if layout_ious:
-        metrics["layout_iou"] = float(np.mean(layout_ious))
+    layout_vals = [float(x) for x in layout_rows
+                   if np.isfinite(np.float32(x))]
+    if layout_vals:
+        metrics["layout_iou"] = float(np.mean(layout_vals))
     for thr in occ_thresholds:
-        m = SSCMetrics(cfg.occupancy_classes + 1)
-        for logits, gt, vis in zip(occ_logits, occ_gts, occ_vis):
-            pred = np.asarray(decode_occupancy_focal(jnp.asarray(logits),
-                                                     thr))
-            m.add_batch(pred, gt, visible_mask=vis)
-        stats = m.get_stats()
+        stats = ssc[thr].get_stats()
         suffix = f"@{thr:.2f}" if len(occ_thresholds) > 1 else ""
         metrics[f"miou{suffix}"] = stats["miou"]
         metrics[f"iou{suffix}"] = float(stats["iou"])

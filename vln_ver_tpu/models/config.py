@@ -47,12 +47,30 @@ class VERConfig:
     num_reg_fcs: int = 2
     num_occ_fcs: int = 2
     occ_dims: int = 128
+    # NMSFreeCoder decode params (vocc.py bbox_coder dict)
+    bbox_max_num: int = 50
+    post_center_range: Tuple[float, ...] = (-10.0, -10.0, -5.0,
+                                            10.0, 10.0, 5.0)
+    # loss weights (vocc.py loss_cls/loss_bbox/loss_occupancy dicts)
+    loss_cls_weight: float = 2.0
+    loss_bbox_weight: float = 0.25
+    loss_occ_weight: float = 1.0
+    loss_layout_weight: float = 0.25
 
     # -- mode flags (vocc.py:15-17, head kwargs) --
     only_occ: bool = False
     only_det: bool = False
     add_layout: bool = False
     refine_occ: bool = True
+    # Occupancy-volume memory layout on the refine_occ path:
+    #   'zhwc' (default) — semantically correct (Z, H, W, C) volume.
+    #   'ref'            — bit-exact reproduction of the reference's raw
+    #     ``.view`` reinterpretations (head:558,564,573), which scramble the
+    #     channel/voxel axes.  Required to run checkpoints trained with the
+    #     reference (the convs there learned the scrambled layout); applied
+    #     per-sample (the reference always runs bs=1 on MP3D — its view
+    #     would additionally mix batch elements at bs>1).
+    occ_layout: str = "zhwc"
     with_box_refine: bool = True
     occ_loss_type: str = "focal_loss"
     # temporal self-attention over a 2-slot BEV queue (the reference's

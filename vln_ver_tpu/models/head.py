@@ -124,12 +124,18 @@ class _UpStage(nn.Module):
                                (self.channels,))
 
     def _conv(self, x, kernel, pad_y, pad_x):
+        # fp32 mode must force HIGHEST: the default conv path multiplies
+        # fp32 operands in bf16 passes (same trap as the MXU einsum,
+        # STATUS.md) — ~1e-3 error that breaks reference-fidelity claims.
+        prec = (jax.lax.Precision.HIGHEST
+                if self.dtype == jnp.float32 else None)
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(1, 1, 1),
             padding=((2, 2), pad_y, pad_x),
             rhs_dilation=(2, 1, 1),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            precision=prec)
 
     def even_conv(self, x):
         """Dense input (stage 1): the full even-grid correlation."""
@@ -280,6 +286,35 @@ class VoxelFormerOccupancyHead(nn.Module):
             occ = occ.reshape(b, -1, cfg.occ_dims)
         return self.occ_branches(occ)
 
+    def _occupancy_ref_layout(self, bev_embed):
+        """Reference-compatible refine_occ pipeline (cfg.occ_layout='ref').
+
+        Reproduces the reference's raw ``.view`` reinterpretations exactly,
+        per sample (head:558 ``view(bs, C, Z, H, W)`` over a (bev_num, C)
+        buffer — a channel/voxel scramble the reference network trains
+        through; head:564 ``view(bs, Z, occ_x, occ_y, C)`` over the conv
+        output — a second reinterpretation; head:570-577 the z-fused
+        occ_proj with the refine-path x/y axis order).  Needed so weights
+        converted from a reference checkpoint produce the reference's
+        occupancy volumes.
+        """
+        cfg = self.cfg
+        b = bev_embed.shape[0]
+        c, z = cfg.embed_dims, cfg.bev_z
+        # scramble 1: flat (bev_num*C) buffer reinterpreted as (C, Z, H, W)
+        t = bev_embed.reshape(b, c, z, cfg.bev_h, cfg.bev_w)
+        u = self.up_sample(t.transpose(0, 2, 3, 4, 1))  # NDHWC in/out
+        u = u.transpose(0, 4, 1, 2, 3)  # back to the reference's NCDHW
+        # scramble 2: flat conv output reinterpreted as (Z, occ_x, occ_y, C)
+        v = u.reshape(b, z, cfg.occ_xdim, cfg.occ_ydim, c)
+        v = v.transpose(0, 2, 3, 1, 4).reshape(
+            b, cfg.occ_xdim, cfg.occ_ydim, z * c)
+        occ = self.occ_proj(v)
+        occ = occ.reshape(b, cfg.occ_xdim, cfg.occ_ydim, cfg.occ_zdim,
+                          cfg.occ_dims)
+        occ = occ.transpose(0, 3, 1, 2, 4).reshape(b, -1, cfg.occ_dims)
+        return self.occ_branches(occ)
+
     def _decode_coords(self, raw_preds, refs_before, value_range):
         """Per-layer box decode (head:587-606): xy/z offsets added to
         inverse-sigmoid refs, sigmoided, scaled to ``value_range``; the
@@ -363,11 +398,14 @@ class VoxelFormerOccupancyHead(nn.Module):
         occupancy_preds = None
         if not cfg.only_det:
             if cfg.refine_occ:
-                vol = bev_embed.reshape(b, cfg.bev_z, cfg.bev_h, cfg.bev_w,
-                                        cfg.embed_dims)
-                vol = self.up_sample(vol)  # (B, Z, occ_y, occ_x, C)
-                occupancy_preds = self._occupancy_from_voxels(
-                    vol, refined=True)
+                if cfg.occ_layout == "ref":
+                    occupancy_preds = self._occupancy_ref_layout(bev_embed)
+                else:
+                    vol = bev_embed.reshape(b, cfg.bev_z, cfg.bev_h,
+                                            cfg.bev_w, cfg.embed_dims)
+                    vol = self.up_sample(vol)  # (B, Z, occ_y, occ_x, C)
+                    occupancy_preds = self._occupancy_from_voxels(
+                        vol, refined=True)
             else:
                 occupancy_preds = self._occupancy_from_voxels(
                     bev_embed, refined=False)

@@ -72,6 +72,29 @@ def decode_occupancy_focal(logits: jnp.ndarray,
 def decode_occupancy_ce(logits: jnp.ndarray) -> jnp.ndarray:
     """Dense class decode for softmax (ce-loss) training (head:1527-1533).
 
-    The last class is empty; argmax directly (the empty class participates).
+    In ce mode the head emits ``occupancy_classes`` channels whose LAST
+    channel is empty (the reference keeps voxels with
+    ``argmax < occupancy_classes - 1``); argmax directly.
     """
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def decode_occupancy(logits: jnp.ndarray, threshold: float = 0.25,
+                     loss_type: str = "focal_loss") -> jnp.ndarray:
+    """Loss-type dispatch mirroring the reference's
+    ``get_occupancy_prediction`` (head:1504-1536)."""
+    if loss_type == "ce_loss":
+        return decode_occupancy_ce(logits)
+    if loss_type == "focal_loss":
+        return decode_occupancy_focal(logits, threshold)
+    raise NotImplementedError(f"occ_loss_type {loss_type!r}")
+
+
+def occupancy_num_classes(occupancy_classes: int,
+                          loss_type: str = "focal_loss") -> int:
+    """Total class count INCLUDING empty for metric histograms: focal mode
+    emits ``occupancy_classes`` real channels with empty appended as id
+    ``occupancy_classes``; ce mode's channel set already contains empty as
+    its last channel."""
+    return (occupancy_classes if loss_type == "ce_loss"
+            else occupancy_classes + 1)

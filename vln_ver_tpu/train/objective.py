@@ -81,7 +81,7 @@ def _layer_det_loss(cfg: VERConfig, cls_scores, bbox_preds, gt_boxes,
 
     loss_cls = L.sigmoid_focal_loss(
         cls_scores.reshape(-1, cfg.num_classes), labels.reshape(-1),
-        avg_factor=cls_avg, loss_weight=2.0)
+        avg_factor=cls_avg, loss_weight=cfg.loss_cls_weight)
 
     tgt_norm = normalize_bbox(bbox_targets)
     weights = bbox_w[..., None] * CODE_WEIGHTS
@@ -89,7 +89,8 @@ def _layer_det_loss(cfg: VERConfig, cls_scores, bbox_preds, gt_boxes,
         bbox_preds.reshape(-1, cfg.code_size),
         tgt_norm.reshape(-1, cfg.code_size),
         weights.reshape(-1, cfg.code_size),
-        avg_factor=jnp.maximum(num_pos, 1.0), loss_weight=0.25)
+        avg_factor=jnp.maximum(num_pos, 1.0),
+        loss_weight=cfg.loss_bbox_weight)
     return jnp.nan_to_num(loss_cls), jnp.nan_to_num(loss_bbox)
 
 
@@ -139,7 +140,7 @@ def compute_losses(cfg: VERConfig, outs: Dict, batch: Dict,
                 last.reshape(-1, cfg.code_size),
                 normalize_bbox(lay_targets).reshape(-1, cfg.code_size),
                 weights.reshape(-1, cfg.code_size),
-                avg_factor=n_lay, loss_weight=0.25))
+                avg_factor=n_lay, loss_weight=cfg.loss_layout_weight))
 
     if not cfg.only_det and outs.get("occupancy_preds") is not None:
         occ_preds = outs["occupancy_preds"]  # (B, n_vox, C_occ)
@@ -152,12 +153,12 @@ def compute_losses(cfg: VERConfig, outs: Dict, batch: Dict,
             occ_logits = occ_preds.reshape(-1, occ_preds.shape[-1])
             loss_occ = L.softmax_ce_loss(
                 occ_logits, jnp.minimum(gt_occ, occ_logits.shape[-1] - 1),
-                avg_factor=num_occupied, loss_weight=1.0)
+                avg_factor=num_occupied, loss_weight=cfg.loss_occ_weight)
         else:
             occ_logits = occ_preds.reshape(-1, cfg.occupancy_classes)
             loss_occ = L.sigmoid_focal_loss(
                 occ_logits, gt_occ, avg_factor=num_occupied,
-                loss_weight=1.0)
+                loss_weight=cfg.loss_occ_weight)
         loss_dict["loss_occupancy"] = jnp.nan_to_num(loss_occ)
         loss_dict["loss_flow"] = jnp.zeros(())
 
