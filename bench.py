@@ -77,6 +77,8 @@ def main():
         try:
             with open(rounds[0]) as f:
                 base = json.load(f)
+            # driver schema: the bench line lives under "parsed"
+            base = base.get("parsed", base)
             if base.get("value"):
                 vs_baseline = volumes_per_sec / float(base["value"])
         except Exception:

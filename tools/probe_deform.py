@@ -86,6 +86,38 @@ def main():
                     A = acc.reshape(bs, nq, H, h * w)
                     out = jnp.einsum("bqhs,bhsd->bqhd", A.astype(cdt), V,
                                      preferred_element_type=jnp.float32)
+                elif variant == "elemwise_s":
+                    # lane-friendly: build A directly on the flattened
+                    # s=196 axis (minor dim 196 -> full VPU lanes; the
+                    # (y,x)->(s) reshape of a broadcast is contiguous so
+                    # XLA fuses it without materialising (…,P,196))
+                    wy = (W[..., None] * Y).astype(cdt)   # (b,q,H,P,y)
+                    wy_s = jnp.broadcast_to(
+                        wy[..., :, None],
+                        wy.shape + (w,)).reshape(wy.shape[:-1] + (h * w,))
+                    x_s = jnp.broadcast_to(
+                        Xc[..., None, :],
+                        Xc.shape[:-1] + (h, w)).reshape(
+                            Xc.shape[:-1] + (h * w,))
+                    A = jnp.sum(wy_s * x_s, axis=3)        # (b,q,H,196)
+                    out = jnp.einsum("bqhs,bhsd->bqhd", A.astype(cdt), V,
+                                     preferred_element_type=jnp.float32)
+                elif variant == "fused_s":
+                    # per-point unrolled accumulation in the s layout
+                    acc = 0.0
+                    for pp in range(P):
+                        wy = (W[..., pp, None] * Y[..., pp, :]).astype(cdt)
+                        wy_s = jnp.broadcast_to(
+                            wy[..., :, None],
+                            wy.shape + (w,)).reshape(
+                                wy.shape[:-1] + (h * w,))
+                        x_s = jnp.broadcast_to(
+                            Xc[..., pp, None, :],
+                            Xc.shape[:2] + (H, h, w)).reshape(
+                                Xc.shape[:2] + (H, h * w))
+                        acc = acc + wy_s * x_s
+                    out = jnp.einsum("bqhs,bhsd->bqhd", acc.astype(cdt), V,
+                                     preferred_element_type=jnp.float32)
                 elif variant == "pallas":
                     from vln_ver_tpu.ops.pallas_deform import \
                         ms_deform_attn_2d_pallas

@@ -78,8 +78,11 @@ def _rasterise_scene(rng: np.random.Generator,
     sparse = np.stack([idx, dense[idx]], axis=-1).astype(np.int64)
     layout = [0.0, 0.0, floor_z, 2 * room_half, 2 * room_half,
               ceil_z - floor_z, 0.0]
+    # invisible voxels (reference occ_invalid npy, mp3docc_dataset.py:
+    # 512-517): everything beyond the room walls is unobserved
+    invalid = np.nonzero(flat(~inside))[0].astype(np.int64)
     del size
-    return sparse, np.asarray(boxes, np.float32), np.asarray(
+    return sparse, invalid, np.asarray(boxes, np.float32), np.asarray(
         labels, np.int64), np.asarray(layout, np.float32)
 
 
@@ -129,10 +132,13 @@ def make_synthetic_dataset(root: str,
                             (1, feat_hw * feat_hw + 1, feat_dim)
                         ).astype(np.float32)
                         h5.create_dataset(fkey, data=feat)
-                sparse, boxes, labels, layout = _rasterise_scene(
+                sparse, invalid, boxes, labels, layout = _rasterise_scene(
                     rng, pc_range=pc_range, occ_dims=occ_dims)
                 occ_path = os.path.join(root, "occ", f"{token}.npy")
                 np.save(occ_path, sparse)
+                invalid_path = os.path.join(root, "occ",
+                                            f"{token}_invalid.npy")
+                np.save(invalid_path, invalid)
                 infos.append({
                     "token": token,
                     "scene_name": scan,
@@ -141,6 +147,7 @@ def make_synthetic_dataset(root: str,
                     "labels": labels,
                     "layout": layout,
                     "occ_gt_path": occ_path,
+                    "occ_invalid_path": invalid_path,
                 })
             # merge with any existing per-scan camera file: splits share the
             # root (like the reference's per-scan world2pixel JSONs), and a

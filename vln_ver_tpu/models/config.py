@@ -63,7 +63,11 @@ class VERConfig:
     add_layout: bool = False
     refine_occ: bool = True
     # Occupancy-volume memory layout on the refine_occ path:
-    #   'zhwc' (default) — semantically correct (Z, H, W, C) volume.
+    #   'zhwc' (default) — semantically correct (Z, H, W, C) volume,
+    #     computed bias-aware: occ_proj/MLP on the informative subgrid
+    #     only (head._occupancy_refined_bias_aware).
+    #   'zhwc_dense'     — same semantics via the naive dense volume
+    #     (test oracle for the bias-aware path).
     #   'ref'            — bit-exact reproduction of the reference's raw
     #     ``.view`` reinterpretations (head:558,564,573), which scramble the
     #     channel/voxel axes.  Required to run checkpoints trained with the

@@ -196,11 +196,20 @@ class OccUpsampler(nn.Module):
                                 name=f"up{i}")
                        for i in range(self.num_stages)]
 
-    def __call__(self, x):
-        # x: (B, Z, H, W, C) dense
+    def informative(self, x):
+        """Returns (e, last_bias): the final informative even grid WITHOUT
+        its own bias (B, Z, H*2^{n-1}, W*2^{n-1}, C) and that bias (C,).
+        The full output is ``interleave(e)`` = e+bias at even (y, x)
+        positions and pure bias elsewhere — the bias-aware occupancy path
+        exploits that structure instead of materialising the volume."""
         e = self.stages[0].even_conv(x)
         for i in range(1, self.num_stages):
             e = self.stages[i].phase_conv(e, self.stages[i - 1].bias)
+        return e, self.stages[-1].bias
+
+    def __call__(self, x):
+        # x: (B, Z, H, W, C) dense
+        e, _ = self.informative(x)
         return self.stages[-1].interleave(e)
 
 
@@ -262,6 +271,23 @@ class VoxelFormerOccupancyHead(nn.Module):
                     name="up_sample")
 
     # ------------------------------------------------------------------
+    def _occ_logits_grid(self, x):
+        """x (B, Z, h, w, C) voxel features -> occupancy logits
+        (B, occ_z, h, w, n_out); occ_proj + MLP are pointwise over (h, w)
+        cells so the grid size is free (the bias-aware path runs this on
+        the informative subgrid + a single bias cell)."""
+        cfg = self.cfg
+        b, z, h, w, c = x.shape
+        if cfg.bev_z == cfg.occ_zdim:
+            occ = self.occ_proj(x)  # (B, Z, h, w, occ_dims)
+            return self.occ_branches(occ)
+        # fuse the z axis: (B, h, w, Z*C) -> (B, h, w, occ_z*occ_dims)
+        x = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, z * c)
+        occ = self.occ_proj(x)
+        occ = occ.reshape(b, h, w, cfg.occ_zdim, cfg.occ_dims)
+        logits = self.occ_branches(occ)     # (B, h, w, occ_z, n)
+        return logits.transpose(0, 3, 1, 2, 4)
+
     def _occupancy_from_voxels(self, voxel_embed, refined: bool,
                                spatial_hw=None):
         """voxel_embed (B, bev_num, C) or refined (B, Z, H', W', C) ->
@@ -273,18 +299,41 @@ class VoxelFormerOccupancyHead(nn.Module):
         else:
             x = voxel_embed.reshape(-1, cfg.bev_z, cfg.bev_h, cfg.bev_w,
                                     cfg.embed_dims)
-        b, z, h, w, c = x.shape
-        if cfg.bev_z == cfg.occ_zdim:
-            occ = self.occ_proj(x)  # (B, Z, H, W, occ_dims)
-            occ = occ.reshape(b, -1, cfg.occ_dims)
-        else:
-            # fuse the z axis: (B, H, W, Z*C) -> (B, H, W, occ_z*occ_dims)
-            x = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, z * c)
-            occ = self.occ_proj(x)
-            occ = occ.reshape(b, h, w, cfg.occ_zdim, cfg.occ_dims)
-            occ = occ.transpose(0, 3, 1, 2, 4)  # (B, occ_z, H, W, occ_dims)
-            occ = occ.reshape(b, -1, cfg.occ_dims)
-        return self.occ_branches(occ)
+        logits = self._occ_logits_grid(x)
+        return logits.reshape(logits.shape[0], -1, logits.shape[-1])
+
+    def _occupancy_refined_bias_aware(self, bev_embed):
+        """Bias-aware refine_occ (exact reformulation of
+        upsample-then-project, tests/test_occ_bias_aware.py).
+
+        The upsampler's final interleave places informative features only
+        at even (y, x) positions — every odd-coordinate cell is the pure
+        stage bias (a deconv artifact the reference trains through, see
+        _UpStage).  So occ_proj (the single biggest occ-half matmul:
+        3072->4480 over 120x120 cells = 1.6 TFLOP at vocc.py shape) and
+        the occupancy MLP run on the 60x60 informative grid plus ONE bias
+        cell, and the results interleave at the LOGITS level — ~4x less
+        projection work and the (B, Z, 120, 120, 768) dense volume
+        (339 MB bf16 at batch 4) never exists in HBM.
+        """
+        cfg = self.cfg
+        b = bev_embed.shape[0]
+        vol = bev_embed.reshape(b, cfg.bev_z, cfg.bev_h, cfg.bev_w,
+                                cfg.embed_dims)
+        e, last_bias = self.up_sample.informative(vol)
+        bias = last_bias.astype(e.dtype)
+        even_logits = self._occ_logits_grid(e + bias)
+        bias_vol = jnp.broadcast_to(
+            bias, (1, cfg.bev_z, 1, 1, cfg.embed_dims))
+        bias_logits = self._occ_logits_grid(bias_vol)  # (1, occ_z, 1, 1, n)
+        _, oz, h2, w2, n = even_logits.shape
+        fill = jnp.broadcast_to(bias_logits, (b, oz, h2, w2, n))
+        row = jnp.stack([even_logits, fill], axis=4).reshape(
+            b, oz, h2, 2 * w2, n)
+        fill_row = jnp.broadcast_to(bias_logits, row.shape)
+        full = jnp.stack([row, fill_row], axis=3).reshape(
+            b, oz, 2 * h2, 2 * w2, n)
+        return full.reshape(b, -1, n)
 
     def _occupancy_ref_layout(self, bev_embed):
         """Reference-compatible refine_occ pipeline (cfg.occ_layout='ref').
@@ -400,12 +449,17 @@ class VoxelFormerOccupancyHead(nn.Module):
             if cfg.refine_occ:
                 if cfg.occ_layout == "ref":
                     occupancy_preds = self._occupancy_ref_layout(bev_embed)
-                else:
+                elif cfg.occ_layout == "zhwc_dense":
+                    # naive upsample-then-project — the oracle for the
+                    # bias-aware path (tests/test_occ_bias_aware.py)
                     vol = bev_embed.reshape(b, cfg.bev_z, cfg.bev_h,
                                             cfg.bev_w, cfg.embed_dims)
                     vol = self.up_sample(vol)  # (B, Z, occ_y, occ_x, C)
                     occupancy_preds = self._occupancy_from_voxels(
                         vol, refined=True)
+                else:
+                    occupancy_preds = self._occupancy_refined_bias_aware(
+                        bev_embed)
             else:
                 occupancy_preds = self._occupancy_from_voxels(
                     bev_embed, refined=False)
