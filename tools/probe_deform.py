@@ -118,11 +118,47 @@ def main():
                         acc = acc + wy_s * x_s
                     out = jnp.einsum("bqhs,bhsd->bqhd", acc.astype(cdt), V,
                                      preferred_element_type=jnp.float32)
+                elif variant == "compare_s":
+                    # build A directly in s-space with 196-lane iota
+                    # compares (no (y,x) intermediate, no broadcasts of
+                    # sub-lane-width arrays); XLA fuses the 8-point chain
+                    # into the single write of A
+                    loc = LOC + carry.astype(jnp.float32) * 0
+                    px = loc[..., 0, :, 0] * w - 0.5       # (b,nq,H,P)
+                    py = loc[..., 0, :, 1] * h - 0.5
+                    x0 = jnp.floor(px)
+                    y0 = jnp.floor(py)
+                    ax = px - x0
+                    ay = py - y0
+                    s = jnp.arange(h * w, dtype=jnp.int32)
+                    sy = (s // w)[None, None, None]
+                    sx = (s - (s // w) * w)[None, None, None]
+                    x0i = x0.astype(jnp.int32)[..., None]
+                    y0i = y0.astype(jnp.int32)[..., None]
+                    axl = ax[..., None].astype(cdt)
+                    ayl = ay[..., None].astype(cdt)
+                    wl = W[..., None]
+                    acc = 0.0
+                    for pp in range(P):
+                        xs = ((sx == x0i[..., pp, :]) * (1 - axl[..., pp, :])
+                              + (sx == x0i[..., pp, :] + 1) * axl[..., pp, :])
+                        ys = ((sy == y0i[..., pp, :]) * (1 - ayl[..., pp, :])
+                              + (sy == y0i[..., pp, :] + 1) * ayl[..., pp, :])
+                        acc = acc + wl[..., pp, :] * xs * ys
+                    out = jnp.einsum("bqhs,bhsd->bqhd", acc.astype(cdt), V,
+                                     preferred_element_type=jnp.float32)
                 elif variant == "pallas":
                     from vln_ver_tpu.ops.pallas_deform import \
                         ms_deform_attn_2d_pallas
                     loc = LOC + carry.astype(jnp.float32) * 0
                     out = ms_deform_attn_2d_pallas(
+                        VAL, ((h, w),), loc,
+                        W.astype(jnp.float32).reshape(bs, nq, H, 1, P))
+                elif variant == "pallas2":
+                    from vln_ver_tpu.ops.pallas_deform import \
+                        ms_deform_attn_2d_pallas_v2
+                    loc = LOC + carry.astype(jnp.float32) * 0
+                    out = ms_deform_attn_2d_pallas_v2(
                         VAL, ((h, w),), loc,
                         W.astype(jnp.float32).reshape(bs, nq, H, 1, P))
                 elif variant == "op":

@@ -38,6 +38,13 @@ def main():
     digest = hasher.hexdigest()[:8]
     out = os.path.join(os.path.abspath(out_dir), f"ver_params-{digest}")
     ocp.PyTreeCheckpointer().save(out, params, force=True)
+    # carry the training metadata (config text + CLASSES — reference
+    # tools/train.py:238-248 embeds these in every checkpoint) alongside
+    # the published params
+    meta_src = os.path.join(os.path.abspath(ckpt_dir), "meta.json")
+    if os.path.isfile(meta_src):
+        import shutil
+        shutil.copy(meta_src, out + ".meta.json")
     print(f"published {out} (step {step}, sha {digest})")
 
 

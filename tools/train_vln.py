@@ -44,6 +44,10 @@ def parse_args():
     p.add_argument("--sample-prob", type=float, default=0.5,
                    help="fraction of rollouts with sampled (student) "
                         "actions, DAgger-style; teacher labels either way")
+    p.add_argument("--dagger-ramp", type=int, default=0,
+                   help="linearly ramp the student-action fraction from 0 "
+                        "to --sample-prob over this many steps (DUET's IL "
+                        "warm-start -> DAgger schedule); 0 = constant")
     p.add_argument("--update-batch", type=int, default=8,
                    help="decision steps per optimizer update (rollout "
                         "steps are buffered and stacked — one jitted "
@@ -57,6 +61,10 @@ def parse_args():
     p.add_argument("--bert-vocab", default=None,
                    help="BERT vocab.txt; tokenize instructions with "
                         "WordPiece so ids match --text-init embeddings")
+    p.add_argument("--crossmodal-init", default=None,
+                   help="msgpack from tools/convert_crossmodal.py; grafts "
+                        "pretrained DUET/LXMERT x-layers into the local/"
+                        "global fusion blocks (sets fusion_arch='bert')")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -109,6 +117,12 @@ def main():
         text_overrides, text_params = load_text_init(args.text_init)
     text_len = (text_overrides["max_text_len"] if text_overrides else 80)
 
+    xmodal = None
+    if args.crossmodal_init:
+        import flax.serialization
+        with open(args.crossmodal_init, "rb") as f:
+            xmodal = flax.serialization.msgpack_restore(f.read())
+
     if args.synthetic:
         dims = args.embed_dims or 64
         cfg = PolicyConfig(embed_dims=dims, num_heads=4, fusion_layers=2,
@@ -153,6 +167,21 @@ def main():
               f"hidden {text_overrides['embed_dims']}, "
               f"vocab {text_overrides['vocab_size']}, "
               f"max_text_len {text_overrides['max_text_len']}")
+    if xmodal is not None:
+        import dataclasses as _dc
+        meta = {k: int(v) for k, v in xmodal["meta"].items()}
+        if meta["hidden"] != cfg.embed_dims:
+            raise SystemExit(
+                f"--crossmodal-init hidden {meta['hidden']} != policy "
+                f"embed_dims {cfg.embed_dims} (pair it with a matching "
+                "--text-init)")
+        cfg = _dc.replace(cfg, fusion_arch="bert",
+                          fusion_layers=meta["num_layers"],
+                          num_heads=meta["num_heads"],
+                          ffn_dim=meta["ffn_dim"])
+        print(f"crossmodal-init: LXMERT/DUET x-layers, "
+              f"{meta['num_layers']} layers, ffn {meta['ffn_dim']}, "
+              f"{meta['num_heads']} heads")
 
     env = R2REnv(episodes, graphs, ver, max_nodes=cfg.max_nodes,
                  objects=objects)
@@ -177,6 +206,14 @@ def main():
         params = flax.core.unfreeze(params)
         params["params"]["text_encoder"] = jax.tree.map(jnp.asarray,
                                                         text_params)
+    if xmodal is not None:
+        import flax.core
+        params = flax.core.unfreeze(params)
+        for i in range(cfg.fusion_layers):
+            params["params"][f"local_block_{i}"] = jax.tree.map(
+                jnp.asarray, xmodal["local"][f"block_{i}"])
+            params["params"][f"global_block_{i}"] = jax.tree.map(
+                jnp.asarray, xmodal["global"][f"block_{i}"])
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"policy params: {n_params/1e6:.2f}M, episodes: {len(episodes)}")
 
@@ -227,7 +264,10 @@ def main():
     roll_rng = jax.random.PRNGKey(args.seed + 7)
     while step < args.steps:
         ep_idx = int(rng.integers(len(episodes)))
-        sample = bool(rng.uniform() < args.sample_prob)
+        p_sample = args.sample_prob
+        if args.dagger_ramp > 0:
+            p_sample *= min(1.0, step / args.dagger_ramp)
+        sample = bool(rng.uniform() < p_sample)
         roll_rng, sub = jax.random.split(roll_rng)
         _, trace = run_episode(policy, params, env, ep_idx, cfg,
                                greedy=not sample, rng=sub,

@@ -47,6 +47,11 @@ class PolicyConfig:
     # text branch may need a different FFN width than the fusion blocks
     # (e.g. BERT-base uses 3072); None = same as ffn_dim
     text_ffn_dim: Optional[int] = None
+    # fusion-block architecture: "preln" (self->cross->ffn, pre-LN, trains
+    # from scratch) or "bert" — the exact LXMERT/DUET cross-modal x-layer
+    # (cross->self->ffn, post-LN) so pretrained DUET/HAMT cross-modal
+    # weights drop in function-preservingly (tools/convert_crossmodal.py)
+    fusion_arch: str = "preln"
 
 
 class PolicyOutput(NamedTuple):
@@ -66,6 +71,31 @@ class _FusionBlock(nn.Module):
         cfg = self.cfg
         sa_mask = (x_mask[:, None, None, :]
                    & x_mask[:, None, :, None])
+        if cfg.fusion_arch == "bert":
+            # LXMERT/DUET x-layer, vision stream (DUET vilmodel
+            # LXRTXLayer): cross-attention -> self-attention -> FFN with
+            # post-LN residuals, exact HF Bert sublayer layout so
+            # pretrained cross-modal weights convert function-preservingly
+            ca_mask = text_mask[:, None, None, :]
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.num_heads, qkv_features=cfg.embed_dims,
+                dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+                name="cross_attn")(x, text, text, mask=ca_mask,
+                                   deterministic=deterministic)
+            y = nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
+            x = nn.LayerNorm(dtype=cfg.dtype, name="ln_ca")(x + y)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.num_heads, qkv_features=cfg.embed_dims,
+                dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+                name="self_attn")(x, x, x, mask=sa_mask,
+                                  deterministic=deterministic)
+            y = nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
+            x = nn.LayerNorm(dtype=cfg.dtype, name="ln_sa")(x + y)
+            y = nn.Dense(cfg.ffn_dim, dtype=cfg.dtype, name="fc1")(x)
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dense(cfg.embed_dims, dtype=cfg.dtype, name="fc2")(y)
+            y = nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
+            return nn.LayerNorm(dtype=cfg.dtype, name="ln_ffn")(x + y)
         y = nn.LayerNorm(dtype=cfg.dtype, name="ln_sa")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=cfg.num_heads, qkv_features=cfg.embed_dims,

@@ -83,7 +83,11 @@ def ms_deform_attn_2d_onehot(value: jnp.ndarray,
         # vs 7.3 ms for this loop, tools/probe_deform.py) — the unrolled
         # outer-product sum fuses elementwise instead.  A stays in the
         # (b, q, h, s) layout end-to-end: the matmul batches (b, h)
-        # directly and the output needs no transposes.
+        # directly and the output needs no transposes.  NOTE: the s-space
+        # int-compare chain ('compare_s') wins standalone (6.0 vs 7.1
+        # ms/call, tools/probe_deform.py) but LOSES inside the full model
+        # (bench 83.3 vs 87.4 vol/s, measured twice) — in-model fusion
+        # context differs; keep this formulation.
         wy = (wgt[..., None] * Y).astype(cdt)            # (bs,nq,H,P,y)
         Xc = X.astype(cdt)
         A = sum(wy[..., p, :, None] * Xc[..., p, None, :]
@@ -182,11 +186,20 @@ def voxel_deform_attn_3d(value: jnp.ndarray,
         loc = sampling_locations[:, :, :, lvl]                    # (bs,nq,H,P,3)
         x = loc[..., 0] * w - 0.5
         y = loc[..., 1] * h - 0.5
-        z = loc[..., 2] * d - 0.5
         x = x.transpose(0, 2, 1, 3).reshape(bs, num_heads, -1)
         y = y.transpose(0, 2, 1, 3).reshape(bs, num_heads, -1)
-        z = z.transpose(0, 2, 1, 3).reshape(bs, num_heads, -1)
-        sampled = trilinear_sample_3d(vl, x, y, z)
+        if d == 1:
+            # depth-1 grid == the decoder_on_bev path: the reference
+            # samples this 2D (voxel_transformer.py:263-285 feeds
+            # [[bev_h, bev_w]] to 2D deform attn).  Bilinear taps keep
+            # exact reference semantics — a trilinear tap here would
+            # attenuate by a z-dependent 0.5-1.0 factor and leak z
+            # gradients through a grid with no z extent.
+            sampled = bilinear_sample_2d(vl[:, :, 0], x, y)
+        else:
+            z = loc[..., 2] * d - 0.5
+            z = z.transpose(0, 2, 1, 3).reshape(bs, num_heads, -1)
+            sampled = trilinear_sample_3d(vl, x, y, z)
         sampled = sampled.reshape(bs, num_heads, num_query, -1, head_dim)
         wgt = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)
         out = out + jnp.sum(sampled * wgt[..., None], axis=-2)

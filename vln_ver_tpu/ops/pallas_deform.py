@@ -86,15 +86,68 @@ def _kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, num_heads,
             out_ref.dtype)
 
 
-_TQ = 256  # query-tile size: keeps per-program VMEM well under the limit
+def _kernel_v2(loc_ref, w_ref, value_ref, out_ref, *, H, W, num_heads,
+               num_points, head_dim):
+    """Lane-expansion variant: ~4 VPU passes per (head, point) over the
+    (tq, H*W) tile instead of v1's ~13.
+
+    v1 builds each one-hot factor with compares against a full (tq, H*W)
+    iota — 10+ full-width passes per (head, point).  v2 instead builds the
+    two tap rows in their natural narrow spaces ((tq, W) and (tq, H) —
+    padded to one 128-lane tile, so 9x cheaper per pass) and expands to the
+    flat s = y*W + x axis with layout ops:
+
+        wy_s = repeat(w * Y_row, W)   # block-broadcast over x
+        x_s  = concat([X_row] * H)    # tile over y
+        A   += wy_s * x_s             # the only full-width passes
+
+    The matmul A @ V_h per head is unchanged (MXU, fp32 accumulation).
+    """
+    hw = H * W
+    vdt = value_ref.dtype
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+    for h in range(num_heads):
+        acc = jnp.zeros((loc_ref.shape[1], hw), jnp.float32)
+        for p in range(num_points):
+            col = (h * num_points + p) * 2
+            px = loc_ref[0, :, col:col + 1] * W - 0.5       # (tq, 1)
+            py = loc_ref[0, :, col + 1:col + 2] * H - 0.5
+            x0 = jnp.floor(px)
+            y0 = jnp.floor(py)
+            ax = px - x0
+            ay = py - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            # narrow tap rows: (tq, W) / (tq, H) — one lane-tile each
+            xrow = ((ix == x0i) * (1.0 - ax) + (ix == x0i + 1) * ax)
+            wgt = w_ref[0, :, h * num_points + p:h * num_points + p + 1]
+            yrow = wgt * ((iy == y0i) * (1.0 - ay) + (iy == y0i + 1) * ay)
+            # expand to the flat s axis
+            wy_s = pltpu.repeat(yrow, W, axis=1)             # (tq, hw)
+            x_s = jnp.concatenate([xrow] * H, axis=1)        # (tq, hw)
+            acc = acc + wy_s * x_s
+        v_h = value_ref[0, :, h * head_dim:(h + 1) * head_dim]
+        if vdt == jnp.float32:
+            out = jax.lax.dot(acc, v_h,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+        else:
+            out = jax.lax.dot(acc.astype(vdt), v_h,
+                              preferred_element_type=jnp.float32)
+        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = out.astype(
+            out_ref.dtype)
 
 
 def _pallas_forward(value, spatial_shapes, sampling_locations,
-                    attention_weights):
+                    attention_weights, version=1):
     (H, W), = spatial_shapes
     bs, hw, num_heads, head_dim = value.shape
     _, nq, _, _, num_points, _ = sampling_locations.shape
     assert hw == H * W
+    # v2's unrolled (head, point) loop keeps more live temporaries on the
+    # Mosaic stack; a smaller query tile keeps it under the VMEM limit
+    _TQ = 256 if version == 1 else 128
 
     loc = sampling_locations.reshape(
         bs, nq, num_heads * 1 * num_points * 2).astype(jnp.float32)
@@ -109,7 +162,8 @@ def _pallas_forward(value, spatial_shapes, sampling_locations,
         loc = jnp.pad(loc, pad)
         wgt = jnp.pad(wgt, pad)
 
-    kernel = functools.partial(_kernel, H=H, W=W, num_heads=num_heads,
+    kernel = functools.partial(_kernel if version == 1 else _kernel_v2,
+                               H=H, W=W, num_heads=num_heads,
                                num_points=num_points, head_dim=head_dim)
     out = pl.pallas_call(
         kernel,
@@ -148,9 +202,27 @@ def ms_deform_attn_2d_pallas(value: jnp.ndarray,
                            attention_weights)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_2d_pallas_v2(value: jnp.ndarray,
+                                spatial_shapes: Sequence[Tuple[int, int]],
+                                sampling_locations: jnp.ndarray,
+                                attention_weights: jnp.ndarray
+                                ) -> jnp.ndarray:
+    """Lane-expansion kernel (see :func:`_kernel_v2`); same contract as
+    :func:`ms_deform_attn_2d_pallas`."""
+    return _pallas_forward(value, spatial_shapes, sampling_locations,
+                           attention_weights, version=2)
+
+
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
     out = _pallas_forward(value, spatial_shapes, sampling_locations,
                           attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _fwd_v2(value, spatial_shapes, sampling_locations, attention_weights):
+    out = _pallas_forward(value, spatial_shapes, sampling_locations,
+                          attention_weights, version=2)
     return out, (value, sampling_locations, attention_weights)
 
 
@@ -163,3 +235,4 @@ def _bwd(spatial_shapes, residuals, g):
 
 
 ms_deform_attn_2d_pallas.defvjp(_fwd, _bwd)
+ms_deform_attn_2d_pallas_v2.defvjp(_fwd_v2, _bwd)
