@@ -1,0 +1,75 @@
+"""Lockstep-batched rollouts must reproduce per-episode rollouts exactly
+(the policy is row-independent; graph stepping is host-side either way)."""
+
+import jax
+import numpy as np
+
+from vln_ver_tpu.agent import PolicyConfig, VLNPolicy, init_memory
+from vln_ver_tpu.agent.env import R2REnv, make_synthetic_vln
+from vln_ver_tpu.agent.rollout import run_episode, run_episodes_batched
+
+CFG = PolicyConfig(embed_dims=32, num_heads=4, fusion_layers=1,
+                   text_layers=1, ffn_dim=64, vocab_size=100,
+                   max_text_len=16, max_nodes=12, bev_z=2, bev_h=4,
+                   bev_w=4, num_query_tokens=2)
+BEV_NUM = CFG.bev_z * CFG.bev_h * CFG.bev_w
+
+
+def _setup(tmp_path):
+    import jax.numpy as jnp
+    episodes, graphs, ver = make_synthetic_vln(
+        str(tmp_path / "synvln"), num_scans=2, nodes_per_scan=9,
+        num_episodes=6, bev_num=BEV_NUM, embed_dims=CFG.embed_dims,
+        max_text_len=CFG.max_text_len, seed=5)
+    env = R2REnv(episodes, graphs, ver, max_nodes=CFG.max_nodes)
+    policy = VLNPolicy(CFG)
+    obs = env.observe(env.reset(0))
+    params = policy.init(jax.random.PRNGKey(1),
+                         jnp.asarray(obs["instruction"])[None],
+                         jnp.asarray(obs["instruction"])[None] > 0,
+                         jnp.asarray(obs["volume"])[None],
+                         init_memory(1, CFG.max_nodes, CFG.embed_dims),
+                         jnp.asarray(obs["cur_pos"])[None],
+                         jnp.asarray(obs["cur_slot"])[None])
+    return env, policy, params
+
+
+def test_batched_matches_sequential_greedy(tmp_path):
+    env, policy, params = _setup(tmp_path)
+    idxs = [0, 1, 2, 3]
+
+    seq = []
+    for i in idxs:
+        m, t = run_episode(policy, params, env, i, CFG, greedy=True,
+                           collect_teacher=True)
+        seq.append((m, t))
+
+    bm, bt = run_episodes_batched(policy, params, env, idxs, CFG,
+                                  greedy=True, collect_teacher=True)
+
+    for (m_seq, t_seq), m_b, t_b in zip(seq, bm, bt):
+        # identical action sequences -> identical teacher labels and
+        # identical navigation metrics
+        assert [r["teacher"] for r in t_b] == [r["teacher"] for r in t_seq]
+        assert len(t_b) == len(t_seq)
+        for k, v in m_seq.items():
+            np.testing.assert_allclose(m_b[k], v, rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+        for rb, rs in zip(t_b, t_seq):
+            np.testing.assert_array_equal(rb["obs"]["cur_slot"],
+                                          rs["obs"]["cur_slot"])
+            np.testing.assert_allclose(
+                np.asarray(rb["memory"].valid),
+                np.asarray(rs["memory"].valid), err_msg="memory.valid")
+
+
+def test_batched_handles_uneven_lengths(tmp_path):
+    env, policy, params = _setup(tmp_path)
+    # all six episodes at once: different path lengths force frozen rows
+    bm, bt = run_episodes_batched(policy, params, env, list(range(6)),
+                                  CFG, greedy=True, collect_teacher=True)
+    assert len(bm) == 6
+    lengths = {len(t) for t in bt}
+    assert len(lengths) > 1, "expected uneven episode lengths"
+    for m in bm:
+        assert np.isfinite(m["nav_error"])

@@ -48,6 +48,11 @@ def parse_args():
                    help="linearly ramp the student-action fraction from 0 "
                         "to --sample-prob over this many steps (DUET's IL "
                         "warm-start -> DAgger schedule); 0 = constant")
+    p.add_argument("--episode-batch", type=int, default=1,
+                   help="roll this many episodes in lockstep per outer "
+                        "iteration (one jitted policy call per step for "
+                        "the whole batch; per-episode results identical "
+                        "to sequential — tests/test_batched_rollout.py)")
     p.add_argument("--update-batch", type=int, default=8,
                    help="decision steps per optimizer update (rollout "
                         "steps are buffered and stacked — one jitted "
@@ -105,7 +110,8 @@ def main():
     from vln_ver_tpu.agent import PolicyConfig, VLNPolicy, init_memory
     from vln_ver_tpu.agent.env import R2REnv, make_synthetic_vln
     from vln_ver_tpu.agent.rollout import (evaluate, imitation_step_loss,
-                                           run_episode)
+                                           run_episode,
+                                           run_episodes_batched)
 
     os.makedirs(args.work_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
@@ -263,16 +269,25 @@ def main():
     buffer = []
     roll_rng = jax.random.PRNGKey(args.seed + 7)
     while step < args.steps:
-        ep_idx = int(rng.integers(len(episodes)))
         p_sample = args.sample_prob
         if args.dagger_ramp > 0:
             p_sample *= min(1.0, step / args.dagger_ramp)
         sample = bool(rng.uniform() < p_sample)
         roll_rng, sub = jax.random.split(roll_rng)
-        _, trace = run_episode(policy, params, env, ep_idx, cfg,
-                               greedy=not sample, rng=sub,
-                               collect_teacher=True)
-        buffer.extend(trace)
+        if args.episode_batch > 1:
+            idxs = [int(rng.integers(len(episodes)))
+                    for _ in range(args.episode_batch)]
+            _, traces = run_episodes_batched(
+                policy, params, env, idxs, cfg, greedy=not sample,
+                rng=sub, collect_teacher=True)
+            for t in traces:
+                buffer.extend(t)
+        else:
+            ep_idx = int(rng.integers(len(episodes)))
+            _, trace = run_episode(policy, params, env, ep_idx, cfg,
+                                   greedy=not sample, rng=sub,
+                                   collect_teacher=True)
+            buffer.extend(trace)
         while len(buffer) >= args.update_batch and step < args.steps:
             chunk, buffer = (buffer[:args.update_batch],
                              buffer[args.update_batch:])

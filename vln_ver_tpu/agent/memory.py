@@ -35,21 +35,29 @@ def update_memory(mem: EpisodicMemory,
                   node_idx: jnp.ndarray,
                   feature: jnp.ndarray,
                   position: jnp.ndarray,
-                  mark_visited: jnp.ndarray) -> EpisodicMemory:
+                  mark_visited: jnp.ndarray,
+                  write_mask: jnp.ndarray | None = None) -> EpisodicMemory:
     """Write/refresh one node per batch element.
 
     node_idx (B,) int32 slot; feature (B, C); position (B, 3);
     mark_visited (B,) bool.  Slots are environment-assigned (stable per
     viewpoint id) so revisits refresh features instead of duplicating.
+    ``write_mask`` (B,) bool makes rows with False a no-op — used by
+    lockstep batched rollouts where episodes register different node
+    counts per step.
     """
     b = jnp.arange(mem.features.shape[0])
-    feats = mem.features.at[b, node_idx].set(
-        feature.astype(mem.features.dtype))
-    pos = mem.positions.at[b, node_idx].set(
-        position.astype(mem.positions.dtype))
-    newly = ~mem.valid[b, node_idx]
-    valid = mem.valid.at[b, node_idx].set(True)
+    wm = (jnp.ones((mem.features.shape[0],), bool)
+          if write_mask is None else write_mask)
+    feats = mem.features.at[b, node_idx].set(jnp.where(
+        wm[:, None], feature.astype(mem.features.dtype),
+        mem.features[b, node_idx]))
+    pos = mem.positions.at[b, node_idx].set(jnp.where(
+        wm[:, None], position.astype(mem.positions.dtype),
+        mem.positions[b, node_idx]))
+    newly = ~mem.valid[b, node_idx] & wm
+    valid = mem.valid.at[b, node_idx].set(mem.valid[b, node_idx] | wm)
     visited = mem.visited.at[b, node_idx].set(
-        mem.visited[b, node_idx] | mark_visited)
+        mem.visited[b, node_idx] | (mark_visited & wm))
     count = mem.count + newly.astype(jnp.int32)
     return EpisodicMemory(feats, pos, valid, visited, count)

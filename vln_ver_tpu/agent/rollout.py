@@ -95,6 +95,100 @@ def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
     return env.metrics(state), trace
 
 
+def run_episodes_batched(policy: VLNPolicy, params, env: R2REnv,
+                         ep_idxs, cfg: PolicyConfig, greedy: bool = True,
+                         rng=None, collect_teacher: bool = False):
+    """Lockstep-batched rollouts: one jitted policy call per step for B
+    episodes (the policy is row-independent, so per-episode results match
+    :func:`run_episode` exactly — tests/test_batched_rollout.py).
+
+    Graph stepping stays host-side per episode; finished episodes are
+    frozen (their rows still flow through the batch, outputs ignored).
+    Returns (metrics_list, traces_list) parallel to ``ep_idxs``.
+    """
+    bsz = len(ep_idxs)
+    states = [env.reset(i) for i in ep_idxs]
+    mem = init_memory(bsz, cfg.max_nodes, cfg.embed_dims)
+    text_feats = None
+    traces = [[] for _ in ep_idxs]
+    step_fn = policy_step_fn(policy)
+    last_obs = [env.observe(s) for s in states]
+
+    while not all(s["done"] for s in states):
+        active = np.array([not s["done"] for s in states])
+        obs = [env.observe(s) if a else o
+               for s, a, o in zip(states, active, last_obs)]
+        last_obs = obs
+        b = {k: jnp.asarray(np.stack([o[k] for o in obs]))
+             for k in obs[0]}
+        act_mask = jnp.asarray(active)
+        vol_feat = jnp.mean(b["volume"], axis=1)
+        mem = update_memory(mem, b["cur_slot"], vol_feat, b["cur_pos"],
+                            act_mask, write_mask=act_mask)
+        # frontier registration: episodes discover different numbers of
+        # new nodes per step -> rounds of masked single-slot writes
+        pending = []
+        for i, o in enumerate(obs):
+            if not active[i]:
+                continue
+            valid_np = np.asarray(mem.valid[i])
+            for slot in np.nonzero(o["node_valid"])[0]:
+                if not valid_np[slot]:
+                    pending.append((i, slot, o["node_pos"][slot]))
+        while pending:
+            rows = {}
+            rest = []
+            for item in pending:
+                if item[0] in rows:
+                    rest.append(item)
+                else:
+                    rows[item[0]] = item
+            slots = np.zeros((bsz,), np.int32)
+            poss = np.zeros((bsz, 3), np.float32)
+            wm = np.zeros((bsz,), bool)
+            for row, (_, slot, pos) in rows.items():
+                slots[row], poss[row], wm[row] = slot, pos, True
+            mem = update_memory(mem, jnp.asarray(slots),
+                                jnp.zeros((bsz, cfg.embed_dims)),
+                                jnp.asarray(poss),
+                                jnp.zeros((bsz,), bool),
+                                write_mask=jnp.asarray(wm))
+            pending = rest
+
+        obj_kw = {}
+        if "obj_feats" in b:
+            obj_kw = dict(obj_feats=b["obj_feats"],
+                          obj_valid=b["obj_valid"])
+        out = step_fn(params, b["instruction"], b["instruction"] > 0,
+                      b["volume"], mem, b["cur_pos"], b["cur_slot"],
+                      text_feats=text_feats, **obj_kw)
+        text_feats = out.text_feats
+        logits = np.asarray(out.logits, np.float32)
+        if not greedy:
+            rng, sub = jax.random.split(rng)
+            sampled = np.asarray(jax.random.categorical(
+                sub, out.logits, axis=-1))
+        for i, s in enumerate(states):
+            if not active[i]:
+                continue
+            teacher = env.teacher_action(s)
+            if collect_teacher:
+                traces[i].append(dict(
+                    obs=obs[i], teacher=teacher,
+                    memory=jax.device_get(jax.tree.map(
+                        lambda x: x[i:i + 1], mem))))
+            action = (int(np.argmax(logits[i])) if greedy
+                      else int(sampled[i]))
+            if action == 0 and out.obj_logits is not None:
+                pred = int(np.argmax(np.asarray(out.obj_logits[i])))
+                token = f"{s['ep']['scan']}_{s['cur']}"
+                entry = (env.objects or {}).get(token)
+                if entry is not None and pred < len(entry["ids"]):
+                    s["pred_obj_id"] = entry["ids"][pred]
+            env.step(s, action)
+    return [env.metrics(s) for s in states], traces
+
+
 def evaluate(policy: VLNPolicy, params, env: R2REnv,
              cfg: PolicyConfig, limit: int | None = None) -> Dict[str, float]:
     n = min(len(env.episodes), limit or len(env.episodes))
