@@ -27,12 +27,21 @@ def main():
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--max-gt", type=int, default=16)
+    p.add_argument("--tiny", action="store_true",
+                   help="shrunken model dims — CPU smoke test of the "
+                        "modes, not a perf measurement")
+    p.add_argument("--mode", default="step",
+                   choices=["step", "grad", "fwd"],
+                   help="step = forward+backward+AdamW (default); grad = "
+                        "forward+backward only; fwd = losses only.  "
+                        "Differencing the three isolates backward and "
+                        "optimizer cost.")
     args = p.parse_args()
 
     import jax
 
-    from vln_ver_tpu.utils.bench import enable_compile_cache
-    enable_compile_cache()
+    from vln_ver_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor JAX_PLATFORMS (sitecustomize pins axon) + compile cache
     import jax.numpy as jnp
 
     from __graft_entry__ import _example_inputs
@@ -41,7 +50,16 @@ def main():
                                    make_train_step)
 
     b = args.batch
-    cfg = VERConfig(num_cams=args.cams, dtype=jnp.bfloat16)
+    if args.tiny:
+        cfg = VERConfig(num_cams=args.cams, dtype=jnp.bfloat16,
+                        bev_z=2, bev_h=4, bev_w=4,
+                        occupancy_size=(1.5, 1.5, 0.4375),
+                        feat_h=4, feat_w=4,
+                        embed_dims=32, in_channels=32, ffn_dim=64,
+                        occ_dims=16, encoder_layers=1, decoder_layers=2,
+                        num_query=12)
+    else:
+        cfg = VERConfig(num_cams=args.cams, dtype=jnp.bfloat16)
     model = VoxelFormer(cfg)
     rng = np.random.default_rng(0)
     feats, w2p, shift = _example_inputs(cfg, batch=b)
@@ -67,16 +85,47 @@ def main():
     state0 = create_train_state(model, params, tc)
     step = make_train_step(cfg, tc, donate=False)
 
+    from vln_ver_tpu.train.objective import compute_losses
+
+    def loss_fn(params, batch, rng):
+        outs = model.apply(params, batch["features"], batch["world2pixel"],
+                           batch["origin_shift"], deterministic=False,
+                           rngs={"dropout": rng})
+        loss_dict = compute_losses(cfg, outs, batch, matcher=tc.matcher)
+        return sum(loss_dict.values())
+
     def scan_steps(n):
-        @jax.jit
-        def fn(state, batch, rng):
-            def body(carry, i):
-                st, _ = carry
-                st2, metrics = step(st, batch, jax.random.fold_in(rng, i))
-                return (st2, metrics["loss"].astype(jnp.float32)), ()
-            (st, loss), _ = jax.lax.scan(body, (state, jnp.float32(0.0)),
-                                         jnp.arange(n))
-            return loss
+        if args.mode == "step":
+            @jax.jit
+            def fn(state, batch, rng):
+                def body(carry, i):
+                    st, _ = carry
+                    st2, metrics = step(st, batch,
+                                        jax.random.fold_in(rng, i))
+                    return (st2, metrics["loss"].astype(jnp.float32)), ()
+                (st, loss), _ = jax.lax.scan(
+                    body, (state, jnp.float32(0.0)), jnp.arange(n))
+                return loss
+        elif args.mode == "grad":
+            @jax.jit
+            def fn(state, batch, rng):
+                def body(carry, i):
+                    loss, g = jax.value_and_grad(loss_fn)(
+                        state.params, batch, jax.random.fold_in(rng, i))
+                    gn = jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                                      for x in jax.tree.leaves(g)))
+                    return carry + loss + gn, ()
+                out, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+                return out
+        else:  # fwd
+            @jax.jit
+            def fn(state, batch, rng):
+                def body(carry, i):
+                    loss = loss_fn(state.params, batch,
+                                   jax.random.fold_in(rng, i))
+                    return carry + loss, ()
+                out, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+                return out
         return fn
 
     from vln_ver_tpu.utils.bench import scan_diff_time
@@ -88,7 +137,7 @@ def main():
         "value": round(dt, 4),
         "unit": "s/step",
         "samples_per_sec": round(b / dt, 3),
-        "batch": b, "cams": args.cams,
+        "batch": b, "cams": args.cams, "mode": args.mode,
     }))
 
 

@@ -29,8 +29,8 @@ def main():
 
     import jax
 
-    from vln_ver_tpu.utils.bench import enable_compile_cache
-    enable_compile_cache()
+    from vln_ver_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor JAX_PLATFORMS (sitecustomize pins axon) + compile cache
     import jax.numpy as jnp
 
     bs, nq, H, P, h, w, hd = args.bs, 900, 8, 8, 14, 14, 96

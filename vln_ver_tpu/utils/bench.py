@@ -34,12 +34,16 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
 
 def scan_diff_time(make_fn: Callable[[int], Callable], args: tuple,
                    iters: int, warmup: int = 2,
-                   base_len: int = 2) -> float:
+                   base_len: int = 2, repeats: int = 3) -> float:
     """Seconds per iteration of the scanned body.
 
     ``make_fn(n)`` must return a jitted callable running the body ``n``
     times inside one program and returning a scalar (fetched to force
-    completion).  Timing = (t(base+iters) - t(base)) / iters.
+    completion).  Timing = (min t(base+iters) - min t(base)) / iters over
+    ``repeats`` timed fetches of each program: the tunnel adds tens of ms
+    of noisy RTT per fetch, and the min is the standard noise-robust
+    estimate of the true device time (a single-sample difference was
+    observed to swing the reported throughput by ~20%).
     """
     import numpy as np
 
@@ -47,12 +51,16 @@ def scan_diff_time(make_fn: Callable[[int], Callable], args: tuple,
     out = None
     for _ in range(warmup):
         out = float(short(*args))
-    t0 = time.perf_counter()
-    out = float(short(*args))
-    t_short = time.perf_counter() - t0
     float(long_(*args))  # warm the long program
-    t0 = time.perf_counter()
-    out = float(long_(*args))
-    t_long = time.perf_counter() - t0
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        val = float(fn(*args))
+        return time.perf_counter() - t0, val
+
+    t_short = min(timed(short)[0] for _ in range(repeats))
+    samples = [timed(long_) for _ in range(repeats)]
+    t_long = min(t for t, _ in samples)
+    out = samples[-1][1]
     assert np.isfinite(out), out
     return max(t_long - t_short, 1e-6) / iters
