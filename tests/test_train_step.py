@@ -115,6 +115,37 @@ def test_all_params_receive_gradients():
     assert not unexpected, unexpected
 
 
+def test_remat_encoder_matches_no_remat():
+    """remat_encoder is a pure memory/compute trade: loss and grads must be
+    numerically identical (same program, recomputed activations)."""
+    model, state, batch, _ = _init()
+    cfg_r = dataclasses.replace(TINY, remat_encoder=True)
+    model_r = VoxelFormer(cfg_r)
+
+    def loss_fn(m, cfg):
+        def f(params):
+            outs = m.apply(params, batch["features"], batch["world2pixel"],
+                           batch["origin_shift"])
+            return sum(compute_losses(cfg, outs, batch).values())
+        return f
+
+    # same param tree (remat must not rename/move params)
+    params_r = model_r.init(jax.random.PRNGKey(0), batch["features"],
+                            batch["world2pixel"], batch["origin_shift"])
+    assert (jax.tree_util.tree_structure(params_r)
+            == jax.tree_util.tree_structure(state.params))
+
+    l0, g0 = jax.value_and_grad(loss_fn(model, TINY))(state.params)
+    l1, g1 = jax.value_and_grad(loss_fn(model_r, cfg_r))(state.params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g0)[0],
+            jax.tree_util.tree_flatten_with_path(g1)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(k0))
+
+
 def test_add_layout_loss():
     cfg = dataclasses.replace(TINY, add_layout=True)
     model, state, batch, _ = _init(cfg)

@@ -27,6 +27,8 @@ def main():
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--max-gt", type=int, default=16)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder layers in backward")
     p.add_argument("--tiny", action="store_true",
                    help="shrunken model dims — CPU smoke test of the "
                         "modes, not a perf measurement")
@@ -59,7 +61,8 @@ def main():
                         occ_dims=16, encoder_layers=1, decoder_layers=2,
                         num_query=12)
     else:
-        cfg = VERConfig(num_cams=args.cams, dtype=jnp.bfloat16)
+        cfg = VERConfig(num_cams=args.cams, dtype=jnp.bfloat16,
+                        remat_encoder=args.remat)
     model = VoxelFormer(cfg)
     rng = np.random.default_rng(0)
     feats, w2p, shift = _example_inputs(cfg, batch=b)

@@ -48,6 +48,10 @@ def parse_args():
                         "eval_hooks.py:89-90)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder layers in the backward pass "
+                        "(larger batches at the 36-view shape; numerically "
+                        "identical)")
     p.add_argument("--mesh", type=str, default=None,
                    help="mesh shape 'data,view' or 'slice,data,view' "
                         "(default: all devices dp); 3 values build the "
@@ -83,7 +87,8 @@ def main():
     cfg = load_config(args.config)
     from vln_ver_tpu.config.api import apply_cfg_options
     cfg = apply_cfg_options(cfg, args.cfg_options)
-    ver = build_ver_config(cfg)
+    ver = build_ver_config(cfg, **({"remat_encoder": True}
+                                   if args.remat else {}))
     os.makedirs(args.work_dir, exist_ok=True)
 
     ds_kw = dataset_kwargs(cfg, "train")

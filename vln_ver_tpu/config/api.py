@@ -192,6 +192,10 @@ def build_ver_config(cfg: Config, **overrides) -> VERConfig:
     if dt:
         import jax.numpy as jnp
         kwargs["dtype"] = jnp.bfloat16 if "bf" in str(dt) else jnp.float32
+    # top-level remat_encoder: rematerialize encoder layers in backward
+    # (e.g. --cfg-options remat_encoder=True)
+    if cfg.get("remat_encoder") is not None:
+        kwargs["remat_encoder"] = bool(cfg.get("remat_encoder"))
     kwargs.update(overrides)
     return VERConfig(**kwargs)
 

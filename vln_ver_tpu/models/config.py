@@ -96,6 +96,11 @@ class VERConfig:
     #   'gather' — take_along_axis oracle; 'onehot' — MXU one-hot matmul;
     #   'pallas' — fused Pallas kernel
     deform_impl: str = "onehot"
+    # rematerialize each encoder layer in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward of the encoder for not
+    # storing its activations — enables larger train batches at the
+    # 36-view shape.  Numerically identical (tests/test_train_step.py).
+    remat_encoder: bool = False
 
     @property
     def use_pallas(self) -> bool:

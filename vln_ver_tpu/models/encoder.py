@@ -107,9 +107,13 @@ class VoxelEncoder(nn.Module):
                 cfg.bev_z, cfg.bev_h, cfg.bev_w)[None, :, None, :]
             ref_2d = _jnp.broadcast_to(
                 ref_2d, (bev_query.shape[0],) + ref_2d.shape[1:])
+        # nn.remat counts `self` as arg 0: spatial_shapes (5) and
+        # deterministic (9) are hashable statics
+        layer_cls = (nn.remat(VoxelEncoderLayer, static_argnums=(5, 9))
+                     if cfg.remat_encoder else VoxelEncoderLayer)
         for i in range(cfg.encoder_layers):
-            bev_query = VoxelEncoderLayer(cfg, name=f"layer_{i}")(
+            bev_query = layer_cls(cfg, name=f"layer_{i}")(
                 bev_query, value, reference_points_cam, bev_mask,
-                spatial_shapes, prev_bev=prev_bev, ref_2d=ref_2d,
-                bev_pos=bev_pos, deterministic=deterministic)
+                tuple(tuple(s) for s in spatial_shapes), prev_bev,
+                ref_2d, bev_pos, deterministic)
         return bev_query
