@@ -1,0 +1,99 @@
+"""Serving tool (tools/serve_ver.py): queue requests must be answered
+with volumes identical to a direct forward, padding rows dropped, and
+malformed requests turned into error files."""
+
+import argparse
+import importlib.util
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_serve():
+    spec = importlib.util.spec_from_file_location(
+        "serve_ver", os.path.join(ROOT, "tools", "serve_ver.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _request(cfg, seed):
+    rng = np.random.default_rng(seed)
+    from vln_ver_tpu import geometry
+    feats = rng.standard_normal(
+        (cfg.num_cams, cfg.feat_h, cfg.feat_w, cfg.in_channels)
+    ).astype(np.float32)
+    w2p = np.stack([
+        geometry.make_pinhole_world2pixel(
+            90.0, (360 / cfg.num_cams) * i, (0, 0, 0))
+        for i in range(cfg.num_cams)]).astype(np.float32)
+    return feats, w2p, np.zeros(3, np.float32)
+
+
+def test_serve_round_trip(tmp_path):
+    serve_mod = _load_serve()
+    from vln_ver_tpu.config import build_ver_config, load_config
+    from vln_ver_tpu.models import VoxelFormer
+
+    config_path = os.path.join(ROOT, "configs", "verformer",
+                               "vocc_tiny.py")
+    cfg = build_ver_config(load_config(config_path))
+    queue = str(tmp_path / "q")
+    inbox = os.path.join(queue, "in")
+    os.makedirs(inbox, exist_ok=True)
+
+    # 3 requests (batch_max=2 -> one full batch + one padded batch)
+    reqs = {f"r{i}": _request(cfg, i) for i in range(3)}
+    for rid, (f, w, s) in reqs.items():
+        np.savez(os.path.join(inbox, f"{rid}.npz"), features=f,
+                 world2pixel=w, origin_shift=s)
+    # one malformed request
+    np.savez(os.path.join(inbox, "bad.npz"),
+             features=np.zeros((1, 2, 2, 3), np.float32),
+             world2pixel=np.zeros((1, 4, 4), np.float32),
+             origin_shift=np.zeros(3, np.float32))
+
+    args = argparse.Namespace(
+        config=config_path, cfg_options=None, checkpoint=None,
+        queue=queue, batch_max=2, poll_ms=10, occupancy=True,
+        max_requests=3)
+    served = serve_mod.serve(args)
+    assert served == 3
+
+    # reference forward with the server's deterministic init
+    model = VoxelFormer(cfg)
+    f0, w0, s0 = reqs["r0"]
+    rng = np.random.default_rng(0)
+    feats0 = rng.standard_normal(
+        (1, cfg.num_cams, cfg.feat_h, cfg.feat_w, cfg.in_channels)
+    ).astype(np.float32)
+    w2p0 = np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))
+    params = model.init(jax.random.PRNGKey(0), feats0, w2p0,
+                        np.zeros((1, 3), np.float32))
+
+    outbox = os.path.join(queue, "out")
+    for rid, (f, w, s) in reqs.items():
+        path = os.path.join(outbox, f"{rid}.npz")
+        assert os.path.exists(path), os.listdir(outbox)
+        with np.load(path) as z:
+            vol = z["volume"]
+            occ = z["occupancy"]
+        assert vol.shape == (cfg.embed_dims, cfg.bev_z, cfg.bev_h,
+                             cfg.bev_w)
+        assert occ.shape == (cfg.voxel_num,)
+        outs = model.apply(params, f[None], w[None], s[None],
+                           deterministic=True, only_bev=False)
+        want = np.asarray(outs["bev_embed"]).reshape(
+            cfg.bev_z, cfg.bev_h, cfg.bev_w,
+            cfg.embed_dims).transpose(3, 0, 1, 2)
+        np.testing.assert_allclose(vol, want, rtol=2e-5, atol=2e-5,
+                                   err_msg=rid)
+
+    err = os.path.join(outbox, "bad.error.txt")
+    assert os.path.exists(err)
+    assert not os.listdir(os.path.join(queue, "in"))

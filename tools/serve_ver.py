@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""VER serving: a persistent batched-inference server for volume requests.
+
+The reference has no serving story (its product path is the offline
+``dist_test.sh get_occ.py`` dump); for production deployment this tool
+keeps the model resident and serves VER volumes (and, optionally, decoded
+occupancy) with micro-batching:
+
+* **Protocol** (dependency-free, works across machines via a shared
+  filesystem): a request is ``<queue>/in/<id>.npz`` holding ``features``
+  (num_cams, feat_h, feat_w, C), ``world2pixel`` (num_cams, 4, 4) and
+  ``origin_shift`` (3,) — exactly the arrays of the MP3D dataset contract
+  (data/mp3d.py).  The response appears as ``<queue>/out/<id>.npz`` with
+  ``volume`` (C, Z, H, W), plus ``occupancy`` (N_vox int32 labels) when
+  ``--occupancy`` is set.  Malformed requests produce
+  ``<queue>/out/<id>.error.txt``.  ``<queue>/in/STOP`` shuts down.
+* **One compiled program**: pending requests are padded to the fixed
+  ``--batch-max`` by repeating the last row, so XLA compiles exactly one
+  batch shape (static shapes; first call pays the compile, every later
+  call is steady-state).  Padding rows are dropped before writing.
+* **Micro-batching window**: the poll loop sleeps ``--poll-ms`` between
+  scans and takes up to ``batch-max`` requests per step, oldest first.
+
+Single-process by design — one chip, one resident program; scale-out is
+one server per chip on a shared queue (ids are claimed atomically via
+rename, so multiple servers can drain the same inbox).
+
+Tested end-to-end in tests/test_serve.py (synthetic requests, responses
+bit-identical to a direct forward).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--cfg-options", nargs="+", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--queue", required=True,
+                   help="queue dir; requests in <queue>/in, responses in "
+                        "<queue>/out")
+    p.add_argument("--batch-max", type=int, default=8,
+                   help="micro-batch capacity (one compiled program)")
+    p.add_argument("--poll-ms", type=int, default=50)
+    p.add_argument("--occupancy", action="store_true",
+                   help="also decode + return dense occupancy labels")
+    p.add_argument("--max-requests", type=int, default=None,
+                   help="exit after serving N requests (tests)")
+    return p.parse_args()
+
+
+def _claim(inbox: str, claimed_dir: str, limit: int):
+    """Atomically claim up to ``limit`` pending requests (rename into the
+    per-server claimed dir; losers of a race just skip)."""
+    try:
+        names = sorted(f for f in os.listdir(inbox) if f.endswith(".npz"))
+    except FileNotFoundError:
+        return []
+    got = []
+    for name in names[: 4 * limit]:
+        src = os.path.join(inbox, name)
+        dst = os.path.join(claimed_dir, name)
+        try:
+            os.rename(src, dst)
+        except OSError:
+            continue
+        got.append(dst)
+        if len(got) >= limit:
+            break
+    return got
+
+
+def serve(args) -> int:
+    from vln_ver_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from vln_ver_tpu.config import (apply_cfg_options, build_ver_config,
+                                    load_config)
+    from vln_ver_tpu.models import VoxelFormer
+    from vln_ver_tpu.occupancy import decode_occupancy
+    from vln_ver_tpu.train import TrainConfig, create_train_state
+    from vln_ver_tpu.utils.checkpoint import latest_step, restore_state
+
+    cfg = apply_cfg_options(load_config(args.config), args.cfg_options)
+    ver = build_ver_config(cfg)
+    model = VoxelFormer(ver)
+
+    inbox = os.path.join(args.queue, "in")
+    outbox = os.path.join(args.queue, "out")
+    claimed = os.path.join(args.queue, f".claimed.{os.getpid()}")
+    for d in (inbox, outbox, claimed):
+        os.makedirs(d, exist_ok=True)
+
+    rng = np.random.default_rng(0)
+    feats0 = rng.standard_normal(
+        (1, ver.num_cams, ver.feat_h, ver.feat_w, ver.in_channels)
+    ).astype(np.float32)
+    w2p0 = np.tile(np.eye(4, dtype=np.float32),
+                   (1, ver.num_cams, 1, 1))
+    shift0 = np.zeros((1, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(0), feats0, w2p0, shift0)
+    if args.checkpoint:
+        state = create_train_state(model, params, TrainConfig())
+        state = restore_state(args.checkpoint,
+                              latest_step(args.checkpoint), state)
+        params = state.params
+
+    B = args.batch_max
+
+    @jax.jit
+    def forward(params, feats, w2p, shift):
+        outs = model.apply(params, feats, w2p, shift, deterministic=True,
+                           only_bev=not args.occupancy)
+        bev = outs["bev_embed"]  # (B, bev_num, C)
+        vol = bev.reshape(B, ver.bev_z, ver.bev_h, ver.bev_w,
+                          ver.embed_dims).transpose(0, 4, 1, 2, 3)
+        occ = None
+        if args.occupancy:
+            occ = jax.vmap(lambda lg: decode_occupancy(
+                lg, loss_type=ver.occ_loss_type))(outs["occupancy_preds"])
+        return vol, occ
+
+    served = 0
+    print(f"serve_ver: queue={args.queue} batch_max={B} "
+          f"occupancy={args.occupancy}", flush=True)
+    while True:
+        if os.path.exists(os.path.join(inbox, "STOP")):
+            os.remove(os.path.join(inbox, "STOP"))
+            break
+        reqs = _claim(inbox, claimed, B)
+        if not reqs:
+            if args.max_requests is not None and served >= args.max_requests:
+                break
+            time.sleep(args.poll_ms / 1000.0)
+            continue
+
+        batch_f, batch_w, batch_s, ok = [], [], [], []
+        for path in reqs:
+            try:
+                with np.load(path) as z:
+                    f = np.asarray(z["features"], np.float32)
+                    w = np.asarray(z["world2pixel"], np.float32)
+                    s = np.asarray(z["origin_shift"], np.float32)
+                expect = (ver.num_cams, ver.feat_h, ver.feat_w,
+                          ver.in_channels)
+                if f.shape != expect or w.shape != (ver.num_cams, 4, 4) \
+                        or s.shape != (3,):
+                    raise ValueError(
+                        f"bad shapes {f.shape} {w.shape} {s.shape}, "
+                        f"want {expect} {(ver.num_cams, 4, 4)} (3,)")
+                batch_f.append(f); batch_w.append(w); batch_s.append(s)
+                ok.append(path)
+            except Exception as e:  # malformed request -> error file
+                rid = os.path.basename(path)[:-4]
+                with open(os.path.join(outbox, f"{rid}.error.txt"),
+                          "w") as fh:
+                    fh.write(repr(e))
+                os.remove(path)
+        if not ok:
+            continue
+
+        n = len(ok)
+        while len(batch_f) < B:  # pad to the compiled batch
+            batch_f.append(batch_f[-1])
+            batch_w.append(batch_w[-1])
+            batch_s.append(batch_s[-1])
+        vol, occ = forward(params, jnp.asarray(np.stack(batch_f)),
+                           jnp.asarray(np.stack(batch_w)),
+                           jnp.asarray(np.stack(batch_s)))
+        vol = np.asarray(vol[:n])
+        occ = np.asarray(occ[:n]) if occ is not None else None
+        for i, path in enumerate(ok):
+            rid = os.path.basename(path)[:-4]
+            out = {"volume": vol[i]}
+            if occ is not None:
+                out["occupancy"] = occ[i].astype(np.int32)
+            tmp = os.path.join(outbox, f".{rid}.tmp.npz")
+            np.savez(tmp, **out)
+            os.replace(tmp, os.path.join(outbox, f"{rid}.npz"))
+            os.remove(path)
+        served += n
+        if args.max_requests is not None and served >= args.max_requests:
+            break
+    print(f"serve_ver: done, served {served}", flush=True)
+    return served
+
+
+if __name__ == "__main__":
+    serve(parse_args())
