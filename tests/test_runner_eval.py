@@ -37,6 +37,31 @@ def test_evaluate_model_with_layouts(tmp_path):
     assert "miou" in metrics and np.isfinite(metrics["miou"])
 
 
+def test_evaluate_model_mesh_matches_plain(tmp_path):
+    """Single-process multi-chip eval (batch sharded over a (data, view)
+    mesh, short final batch padded) must produce identical metrics to the
+    plain single-device path."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 cpu devices")
+    from vln_ver_tpu.parallel import make_mesh
+
+    cfg = dataclasses.replace(TINY, add_layout=True)
+    ds = _dataset(tmp_path, cfg)
+    model = VoxelFormer(cfg)
+    s = ds[0]
+    params = model.init(jax.random.PRNGKey(0), s["features"][None],
+                        s["world2pixel"][None], s["origin_shift"][None])
+    plain = evaluate_model(model, params, ds, limit=2, batch_size=1)
+    # batch_size 4 over 2 samples -> one short batch, padded 2->4
+    meshed = evaluate_model(model, params, ds, limit=2, batch_size=4,
+                            mesh=make_mesh((4, 2)))
+    assert set(plain) == set(meshed)
+    for k in plain:
+        np.testing.assert_allclose(meshed[k], plain[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+
+
 def test_evaluate_model_respects_visible_mask(tmp_path):
     cfg = TINY
     ds = _dataset(tmp_path, cfg)

@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="single-process multi-chip: 'data,view' (e.g. 4,2)"
+                        " shards each batch over local chips; batch-size "
+                        "must divide by the data axis")
     p.add_argument("--out", default=None, help="override savename")
     return p.parse_args()
 
@@ -102,13 +106,38 @@ def main():
     indices = multihost.shard_indices(n)
     if multihost.process_count() > 1:
         savename = f"{savename}.shard{multihost.process_index()}"
+    mesh = None
+    if args.mesh:
+        from vln_ver_tpu.parallel import make_mesh, replicate, shard_batch
+        shape = tuple(int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(shape)
+        dsize = shape[0]
+        if args.batch_size % dsize != 0:
+            raise ValueError(f"--batch-size {args.batch_size} not "
+                             f"divisible by mesh data size {dsize}")
+        params = replicate(mesh, params)
+
     written = 0
     with h5py.File(savename, "a") as outf:
         for batch in iterate_batches(dataset, args.batch_size,
                                      indices=indices, drop_last=False):
-            bev = np.asarray(bev_only(params, batch["features"],
-                                      batch["world2pixel"],
-                                      batch["origin_shift"]))
+            feats, w2p, shift = (batch["features"], batch["world2pixel"],
+                                 batch["origin_shift"])
+            real = feats.shape[0]
+            if mesh is not None:
+                if real % dsize != 0:  # pad the short final batch
+                    pad = dsize - real % dsize
+                    feats, w2p, shift = (
+                        np.concatenate([np.asarray(a)]
+                                       + [np.asarray(a[-1:])] * pad)
+                        for a in (feats, w2p, shift))
+                s = shard_batch(mesh, {"features": feats,
+                                       "world2pixel": w2p,
+                                       "origin_shift": shift})
+                feats, w2p, shift = (s["features"], s["world2pixel"],
+                                     s["origin_shift"])
+            bev = np.asarray(bev_only(params, feats, w2p,
+                                      shift))[:real]
             # (B, bev_num, C) -> (B, C, Z, H, W) — dump layout parity with
             # the reference (head:634-636)
             b = bev.shape[0]

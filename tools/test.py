@@ -33,6 +33,10 @@ def parse_args():
     p.add_argument("--occ-thresholds", type=float, nargs="+",
                    default=[0.25])
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="single-process multi-chip eval: 'data,view' "
+                        "(e.g. 4,2) shards each batch over local chips; "
+                        "batch-size must divide by the data axis")
     return p.parse_args()
 
 
@@ -87,12 +91,19 @@ def main():
         params = state.params
         print(f"restored step {step}")
 
+    mesh = None
+    if args.mesh:
+        from vln_ver_tpu.parallel import make_mesh
+        shape = tuple(int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(shape)
+
     from vln_ver_tpu.evaluation.runner import evaluate_model
     metrics = evaluate_model(model, params, dataset,
                              occ_thresholds=tuple(args.occ_thresholds),
                              limit=args.limit,
                              batch_size=args.batch_size,
-                             classes=tuple(ds_kw.get("classes", ())))
+                             classes=tuple(ds_kw.get("classes", ())),
+                             mesh=mesh)
     for k in sorted(metrics):
         if k.startswith(("mAP", "mAR")):
             print(f"{k}: {metrics[k]:.4f}")

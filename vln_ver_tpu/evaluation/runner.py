@@ -40,8 +40,24 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
                    limit: Optional[int] = None,
                    batch_size: int = 1,
                    classes: Sequence[str] = (),
-                   shard: bool = True) -> Dict[str, float]:
+                   shard: bool = True,
+                   mesh=None) -> Dict[str, float]:
+    """``mesh``: optional (data, view) jax.sharding.Mesh — single-PROCESS
+    multi-chip eval shards each batch over the ``data`` axis (and cameras
+    over ``view``) so all local chips work; short final batches are padded
+    by repeating the last sample and the pad rows dropped.  Orthogonal to
+    the multi-PROCESS sharding (``shard=True``), which splits the dataset
+    across hosts."""
     cfg = model.cfg
+    if mesh is not None:
+        from ..parallel import replicate as _replicate, shard_batch
+        dsize = int(np.prod([s for n, s in zip(mesh.axis_names,
+                                               mesh.devices.shape)
+                             if n != "view"]))
+        if batch_size % dsize != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"mesh data size {dsize}")
+        params = _replicate(mesh, params)
 
     @jax.jit
     def forward(params, feats, w2p, shift):
@@ -70,10 +86,21 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
 
     for batch in iterate_batches(dataset, batch_size, indices=indices,
                                  drop_last=False):
-        occ, dec, layout_preds = forward(params, batch["features"],
-                                         batch["world2pixel"],
-                                         batch["origin_shift"])
         bsz = batch["features"].shape[0]
+        feats, w2p, shift = (batch["features"], batch["world2pixel"],
+                             batch["origin_shift"])
+        if mesh is not None:
+            if bsz % dsize != 0:  # pad the short final batch
+                pad = dsize - bsz % dsize
+                feats, w2p, shift = (
+                    np.concatenate([np.asarray(a)]
+                                   + [np.asarray(a[-1:])] * pad)
+                    for a in (feats, w2p, shift))
+            feats, w2p, shift = (shard_batch(
+                mesh, {"features": feats, "world2pixel": w2p,
+                       "origin_shift": shift})[k]
+                for k in ("features", "world2pixel", "origin_shift"))
+        occ, dec, layout_preds = forward(params, feats, w2p, shift)
         if layout_preds is not None and "gt_layout" in batch:
             from ..coders import decode_layouts
             from .indoor_eval import box3d_iou
