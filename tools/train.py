@@ -252,10 +252,14 @@ def main():
                                 occupancy_classes=ver.occupancy_classes,
                                 num_cams=ver.num_cams, feat_hw=ver.feat_h)
                     if val_ds is not None:
+                        # reuse the training mesh so eval ticks also use
+                        # every local chip (batch = one sample per data
+                        # shard; evaluate_model pads short batches)
                         em = evaluate_model(
                             model, jax.device_get(state.params), val_ds,
                             limit=args.eval_limit,
-                            classes=val_kw.get("classes", ()))
+                            classes=val_kw.get("classes", ()),
+                            batch_size=batch_shards, mesh=mesh)
                         em["step"] = step
                         keep = {k: round(float(v), 4)
                                 for k, v in em.items()

@@ -51,9 +51,10 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
     cfg = model.cfg
     if mesh is not None:
         from ..parallel import replicate as _replicate, shard_batch
+        # batch shards over ('slice',) 'data' (parallel/mesh._spec)
         dsize = int(np.prod([s for n, s in zip(mesh.axis_names,
                                                mesh.devices.shape)
-                             if n != "view"]))
+                             if n in ("slice", "data")]))
         if batch_size % dsize != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"mesh data size {dsize}")
