@@ -47,6 +47,24 @@ def test_pipeline_matches_sequential(stages, micro):
 
 
 @needs8
+def test_pipeline_composes_with_data_parallel():
+    """(stage, data) mesh: microbatch rows split over 'data' while layers
+    pipeline over 'stage' — still exactly the sequential stack."""
+    stacked = _toy_stack(L=4)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((8, 6, 16)).astype(np.float32))
+    scale = jnp.float32(1.05)
+
+    ref = sequential_apply(_toy_layer, stacked, x, shared=(scale,))
+    mesh = make_pp_mesh(2, data=4)
+    assert mesh.axis_names == ("stage", "data")
+    out = pipeline_apply(mesh, _toy_layer, stacked, x, shared=(scale,),
+                         microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+@needs8
 def test_pipeline_grads_match_sequential():
     stacked = _toy_stack(L=4)
     rng = np.random.default_rng(2)

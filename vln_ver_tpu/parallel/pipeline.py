@@ -39,11 +39,16 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
-def make_pp_mesh(stage: int, devices=None) -> Mesh:
-    """1-D ``(stage,)`` mesh over the first ``stage`` devices."""
+def make_pp_mesh(stage: int, data: int = 1, devices=None) -> Mesh:
+    """``(stage,)`` mesh — or ``(stage, data)`` when ``data > 1`` to
+    compose the pipeline with data parallelism (each stage row holds
+    ``data`` devices that split the microbatch rows)."""
     devices = list(devices if devices is not None else jax.devices())
-    assert len(devices) >= stage, (len(devices), stage)
-    return Mesh(np.asarray(devices[:stage]), axis_names=("stage",))
+    assert len(devices) >= stage * data, (len(devices), stage, data)
+    if data == 1:
+        return Mesh(np.asarray(devices[:stage]), axis_names=("stage",))
+    arr = np.asarray(devices[: stage * data]).reshape(stage, data)
+    return Mesh(arr, axis_names=("stage", "data"))
 
 
 def stack_layer_params(param_trees) -> Any:
@@ -66,7 +71,7 @@ def pipeline_apply(mesh: Mesh, layer_fn: Callable, stacked_params,
     ``t`` works on microbatch ``t - s`` and indexes its slice of each
     batch arg; ``shared`` arrays broadcast unsplit to every stage.
     """
-    S = int(mesh.devices.size)
+    S = int(dict(zip(mesh.axis_names, mesh.devices.shape))["stage"])
     L = int(jax.tree.leaves(stacked_params)[0].shape[0])
     assert L % S == 0, f"{L} layers over {S} stages"
     M = int(microbatches)
@@ -112,11 +117,17 @@ def pipeline_apply(mesh: Mesh, layer_fn: Callable, stacked_params,
         return lax.psum(
             jnp.where(s == S - 1, outs, jnp.zeros_like(outs)), "stage")
 
+    # with a (stage, data) mesh the microbatch ROWS additionally split
+    # over 'data' — pure SPMD for the batch-elementwise layers, while
+    # ppermute stays a stage-axis collective
+    dp = "data" in mesh.axis_names
+    mb_spec = P(None, "data") if dp else P()
     shared_specs = tuple(P() for _ in shared)
     fn = shard_map(per_stage, mesh=mesh,
-                   in_specs=(P("stage"), P(), tuple(P() for _ in bargs_mb))
+                   in_specs=(P("stage"), mb_spec,
+                             tuple(mb_spec for _ in bargs_mb))
                    + shared_specs,
-                   out_specs=P(), check_rep=False)
+                   out_specs=mb_spec, check_rep=False)
     y = fn(stacked_params, x_mb, bargs_mb, *shared)
     return y.reshape(B, *x.shape[1:])
 
