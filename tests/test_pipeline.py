@@ -135,3 +135,23 @@ def test_pipeline_on_voxel_encoder_layer():
                          bev_mask, microbatches=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+    # gradient parity on the REAL layer too (the risky part: ppermute /
+    # masked-psum / cond transposes through shard_map)
+    def loss_seq(p):
+        return jnp.sum(jnp.square(sequential_apply(
+            layer_fn, p, query0, value, ref_cam, bev_mask)))
+
+    def loss_pp(p):
+        return jnp.sum(jnp.square(pipeline_apply(
+            mesh, layer_fn, p, query0, value, ref_cam, bev_mask,
+            microbatches=2)))
+
+    g_seq = jax.grad(loss_seq)(stacked)
+    g_pp = jax.grad(loss_pp)(stacked)
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_seq)[0],
+            jax.tree_util.tree_flatten_with_path(g_pp)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(k))

@@ -108,13 +108,13 @@ def main():
         savename = f"{savename}.shard{multihost.process_index()}"
     mesh = None
     if args.mesh:
-        from vln_ver_tpu.parallel import make_mesh, replicate, shard_batch
-        shape = tuple(int(x) for x in args.mesh.split(","))
-        mesh = make_mesh(shape)
-        dsize = shape[0]
-        if args.batch_size % dsize != 0:
+        from vln_ver_tpu.parallel import (data_axis_size, pad_and_shard,
+                                          parse_eval_mesh, replicate)
+        mesh = parse_eval_mesh(args.mesh)
+        if args.batch_size % data_axis_size(mesh) != 0:
             raise ValueError(f"--batch-size {args.batch_size} not "
-                             f"divisible by mesh data size {dsize}")
+                             f"divisible by mesh data size "
+                             f"{data_axis_size(mesh)}")
         params = replicate(mesh, params)
 
     written = 0
@@ -125,15 +125,10 @@ def main():
                                  batch["origin_shift"])
             real = feats.shape[0]
             if mesh is not None:
-                if real % dsize != 0:  # pad the short final batch
-                    pad = dsize - real % dsize
-                    feats, w2p, shift = (
-                        np.concatenate([np.asarray(a)]
-                                       + [np.asarray(a[-1:])] * pad)
-                        for a in (feats, w2p, shift))
-                s = shard_batch(mesh, {"features": feats,
-                                       "world2pixel": w2p,
-                                       "origin_shift": shift})
+                # pad short batches to the ONE compiled batch shape
+                s, real = pad_and_shard(
+                    mesh, {"features": feats, "world2pixel": w2p,
+                           "origin_shift": shift}, args.batch_size)
                 feats, w2p, shift = (s["features"], s["world2pixel"],
                                      s["origin_shift"])
             bev = np.asarray(bev_only(params, feats, w2p,

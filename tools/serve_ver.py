@@ -10,10 +10,15 @@ occupancy) with micro-batching:
   filesystem): a request is ``<queue>/in/<id>.npz`` holding ``features``
   (num_cams, feat_h, feat_w, C), ``world2pixel`` (num_cams, 4, 4) and
   ``origin_shift`` (3,) — exactly the arrays of the MP3D dataset contract
-  (data/mp3d.py).  The response appears as ``<queue>/out/<id>.npz`` with
-  ``volume`` (C, Z, H, W), plus ``occupancy`` (N_vox int32 labels) when
-  ``--occupancy`` is set.  Malformed requests produce
-  ``<queue>/out/<id>.error.txt``.  ``<queue>/in/STOP`` shuts down.
+  (data/mp3d.py).  Clients MUST write atomically: save to a dotfile
+  (e.g. ``.tmp-<id>``) in the same directory, then ``os.replace`` to
+  ``<id>.npz`` — the claimer skips dotfiles, and as a second line of
+  defense a request that fails to parse while its mtime is still fresh
+  is pushed back to the inbox instead of errored.  The response appears
+  as ``<queue>/out/<id>.npz`` with ``volume`` (C, Z, H, W), plus
+  ``occupancy`` (N_vox int32 labels) when ``--occupancy`` is set.
+  Malformed requests produce ``<queue>/out/<id>.error.txt``.
+  ``<queue>/in/STOP`` shuts down.
 * **One compiled program**: pending requests are padded to the fixed
   ``--batch-max`` by repeating the last row, so XLA compiles exactly one
   batch shape (static shapes; first call pays the compile, every later
@@ -61,9 +66,11 @@ def parse_args():
 
 def _claim(inbox: str, claimed_dir: str, limit: int):
     """Atomically claim up to ``limit`` pending requests (rename into the
-    per-server claimed dir; losers of a race just skip)."""
+    per-server claimed dir; losers of a race just skip).  Dotfiles are
+    client write-temps and are never claimed."""
     try:
-        names = sorted(f for f in os.listdir(inbox) if f.endswith(".npz"))
+        names = sorted(f for f in os.listdir(inbox)
+                       if f.endswith(".npz") and not f.startswith("."))
     except FileNotFoundError:
         return []
     got = []
@@ -78,6 +85,42 @@ def _claim(inbox: str, claimed_dir: str, limit: int):
         if len(got) >= limit:
             break
     return got
+
+
+def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 300.0):
+    """Return requests stranded in dead servers' ``.claimed.*`` dirs to
+    the inbox.  A claimed dir is swept when its owner pid is not alive on
+    this host, or when its requests have sat longer than ``max_age_s``
+    (covers servers on other hosts of a shared filesystem)."""
+    for name in os.listdir(queue):
+        if not name.startswith(".claimed."):
+            continue
+        d = os.path.join(queue, name)
+        try:
+            pid = int(name.rsplit(".", 1)[1])
+        except ValueError:
+            pid = -1
+        if pid == os.getpid():
+            continue  # never touch our own in-flight claims
+        alive = False
+        if pid > 0:
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except OSError:
+                alive = False
+        for f in list(os.listdir(d)):
+            path = os.path.join(d, f)
+            stale = (time.time() - os.path.getmtime(path)) > max_age_s
+            if (not alive) or stale:
+                try:
+                    os.rename(path, os.path.join(inbox, f))
+                except OSError:
+                    pass
+        try:
+            os.rmdir(d)  # only succeeds when emptied and not ours
+        except OSError:
+            pass
 
 
 def serve(args) -> int:
@@ -135,10 +178,15 @@ def serve(args) -> int:
     served = 0
     print(f"serve_ver: queue={args.queue} batch_max={B} "
           f"occupancy={args.occupancy}", flush=True)
+    _sweep_orphans(args.queue, inbox)
+    last_sweep = time.time()
     while True:
         if os.path.exists(os.path.join(inbox, "STOP")):
             os.remove(os.path.join(inbox, "STOP"))
             break
+        if time.time() - last_sweep > 60.0:
+            _sweep_orphans(args.queue, inbox)
+            last_sweep = time.time()
         reqs = _claim(inbox, claimed, B)
         if not reqs:
             if args.max_requests is not None and served >= args.max_requests:
@@ -162,7 +210,21 @@ def serve(args) -> int:
                         f"want {expect} {(ver.num_cams, 4, 4)} (3,)")
                 batch_f.append(f); batch_w.append(w); batch_s.append(s)
                 ok.append(path)
-            except Exception as e:  # malformed request -> error file
+            except Exception as e:
+                # a freshly-written file may be a non-atomic client's
+                # half-write — push it back once instead of erroring
+                try:
+                    fresh = (time.time() - os.path.getmtime(path)) < 2.0
+                except OSError:
+                    fresh = False
+                if fresh:
+                    try:
+                        os.rename(path,
+                                  os.path.join(inbox,
+                                               os.path.basename(path)))
+                        continue
+                    except OSError:
+                        pass
                 rid = os.path.basename(path)[:-4]
                 with open(os.path.join(outbox, f"{rid}.error.txt"),
                           "w") as fh:

@@ -93,9 +93,8 @@ def main():
 
     mesh = None
     if args.mesh:
-        from vln_ver_tpu.parallel import make_mesh
-        shape = tuple(int(x) for x in args.mesh.split(","))
-        mesh = make_mesh(shape)
+        from vln_ver_tpu.parallel import parse_eval_mesh
+        mesh = parse_eval_mesh(args.mesh)
 
     from vln_ver_tpu.evaluation.runner import evaluate_model
     metrics = evaluate_model(model, params, dataset,

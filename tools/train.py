@@ -254,9 +254,12 @@ def main():
                     if val_ds is not None:
                         # reuse the training mesh so eval ticks also use
                         # every local chip (batch = one sample per data
-                        # shard; evaluate_model pads short batches)
+                        # shard; evaluate_model pads short batches).
+                        # Pass the LIVE params: evaluate_model detects
+                        # they are already on the mesh and skips the
+                        # replicate, so TP-sharded params stay sharded.
                         em = evaluate_model(
-                            model, jax.device_get(state.params), val_ds,
+                            model, state.params, val_ds,
                             limit=args.eval_limit,
                             classes=val_kw.get("classes", ()),
                             batch_size=batch_shards, mesh=mesh)

@@ -50,15 +50,17 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
     across hosts."""
     cfg = model.cfg
     if mesh is not None:
-        from ..parallel import replicate as _replicate, shard_batch
-        # batch shards over ('slice',) 'data' (parallel/mesh._spec)
-        dsize = int(np.prod([s for n, s in zip(mesh.axis_names,
-                                               mesh.devices.shape)
-                             if n in ("slice", "data")]))
+        from ..parallel import (data_axis_size, pad_and_shard,
+                                params_on_mesh,
+                                replicate as _replicate)
+        dsize = data_axis_size(mesh)
         if batch_size % dsize != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"mesh data size {dsize}")
-        params = _replicate(mesh, params)
+        # live TP/train params are already laid out on the mesh —
+        # replicating them would defeat the sharding (OOM for TP models)
+        if not params_on_mesh(mesh, params):
+            params = _replicate(mesh, params)
 
     @jax.jit
     def forward(params, feats, w2p, shift):
@@ -91,16 +93,12 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
         feats, w2p, shift = (batch["features"], batch["world2pixel"],
                              batch["origin_shift"])
         if mesh is not None:
-            if bsz % dsize != 0:  # pad the short final batch
-                pad = dsize - bsz % dsize
-                feats, w2p, shift = (
-                    np.concatenate([np.asarray(a)]
-                                   + [np.asarray(a[-1:])] * pad)
-                    for a in (feats, w2p, shift))
-            feats, w2p, shift = (shard_batch(
+            # pad short batches to the one compiled batch_size shape
+            s, _ = pad_and_shard(
                 mesh, {"features": feats, "world2pixel": w2p,
-                       "origin_shift": shift})[k]
-                for k in ("features", "world2pixel", "origin_shift"))
+                       "origin_shift": shift}, batch_size)
+            feats, w2p, shift = (s["features"], s["world2pixel"],
+                                 s["origin_shift"])
         occ, dec, layout_preds = forward(params, feats, w2p, shift)
         if layout_preds is not None and "gt_layout" in batch:
             from ..coders import decode_layouts

@@ -109,3 +109,61 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def parse_eval_mesh(arg: str) -> Mesh:
+    """CLI '--mesh data[,view]' for the eval/get_occ tools: builds a
+    (data, view) mesh from this process's LOCAL devices — under
+    jax.distributed the dataset is already sharded per process
+    (multihost.shard_indices), so the per-batch mesh must span only the
+    chips this process can address."""
+    shape = tuple(int(x) for x in arg.split(","))
+    if len(shape) == 1:
+        shape = (shape[0], 1)
+    if len(shape) != 2:
+        raise ValueError(
+            f"--mesh wants 'data' or 'data,view', got {arg!r}")
+    return make_mesh(shape, devices=jax.local_devices())
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Product of the batch-carrying axes (('slice',) 'data') — the
+    granularity batch dims must divide for ``shard_batch``."""
+    return int(np.prod([s for n, s in zip(mesh.axis_names,
+                                          mesh.devices.shape)
+                        if n in ("slice", "data")]))
+
+
+def pad_and_shard(mesh: Mesh, batch: Dict, pad_to: int):
+    """Pad every array's batch dim to exactly ``pad_to`` by repeating the
+    last row, then ``shard_batch``.  Returns ``(sharded, real)`` where
+    ``real`` is the unpadded row count — callers must drop rows >= real.
+
+    Padding to one fixed size (not just the next ``data_axis_size``
+    multiple) keeps a single compiled program: through the axon tunnel a
+    second full-size compile for a short final batch costs minutes.
+    """
+    real = next(v.shape[0] for v in batch.values()
+                if not _is_host_value(v))
+    assert real <= pad_to, (real, pad_to)
+    assert pad_to % data_axis_size(mesh) == 0, (
+        pad_to, data_axis_size(mesh))
+    if real < pad_to:
+        batch = {k: v if _is_host_value(v) else np.concatenate(
+            [np.asarray(v)] + [np.asarray(v[-1:])] * (pad_to - real))
+            for k, v in batch.items()}
+    return shard_batch(mesh, batch), real
+
+
+def params_on_mesh(mesh: Mesh, tree) -> bool:
+    """True if the tree's leaves are jax.Arrays already laid out on this
+    mesh's devices (e.g. live tensor-parallel train params) — replicating
+    such a tree would defeat the sharding (and can OOM a TP model)."""
+    leaves = jax.tree.leaves(tree)
+    if not leaves or not isinstance(leaves[0], jax.Array):
+        return False
+    try:
+        return set(leaves[0].sharding.device_set) == set(
+            mesh.devices.flat)
+    except Exception:
+        return False

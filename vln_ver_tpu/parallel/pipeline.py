@@ -78,6 +78,11 @@ def pipeline_apply(mesh: Mesh, layer_fn: Callable, stacked_params,
     B = x.shape[0]
     assert B % M == 0, f"batch {B} into {M} microbatches"
     mb = B // M
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if "data" in axes and mb % axes["data"] != 0:
+        raise ValueError(
+            f"microbatch rows {mb} (batch {B} / {M} microbatches) must "
+            f"divide the mesh data axis {axes['data']}")
     x_mb = x.reshape(M, mb, *x.shape[1:])
     bargs_mb = tuple(a.reshape(M, mb, *a.shape[1:]) for a in batch_args)
 
