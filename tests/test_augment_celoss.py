@@ -25,16 +25,30 @@ def test_softmax_ce_matches_torch():
 
 def test_ce_loss_objective_variant():
     from tests.test_train_step import TINY, _init
-    cfg = dataclasses.replace(TINY, occ_loss_type="ce_loss")
-    # note: with ce_loss the head still emits occupancy_classes channels;
-    # the empty label is clamped to the last channel (reference decode
-    # treats channel C-1 as empty)
+    # ce convention: occupancy_classes INCLUDES empty as the last channel
+    # (reference head:1527-1533); 17 = 16 semantic + empty for MP3D
+    cfg = dataclasses.replace(TINY, occ_loss_type="ce_loss",
+                              occupancy_classes=17)
     from vln_ver_tpu.train import compute_losses
     model, state, batch, _ = _init(cfg)
     outs = model.apply(state.params, batch["features"],
                        batch["world2pixel"], batch["origin_shift"])
     ld = compute_losses(cfg, outs, batch)
     assert np.isfinite(float(ld["loss_occupancy"]))
+
+
+def test_ce_loss_default_classes_trap_raises():
+    # VERDICT r2: ce_loss + focal-default occupancy_classes=16 silently
+    # aliased class 15 with empty — now an explicit config error
+    import pytest
+
+    from tests.test_train_step import TINY
+    with pytest.raises(ValueError, match="empty"):
+        dataclasses.replace(TINY, occ_loss_type="ce_loss")
+    # the affirmation escape hatch still constructs
+    cfg = dataclasses.replace(TINY, occ_loss_type="ce_loss",
+                              occ_ce_includes_empty=True)
+    assert cfg.occupancy_classes == 16
 
 
 def test_grid_mask_zeroes_patches():

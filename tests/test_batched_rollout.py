@@ -63,6 +63,25 @@ def test_batched_matches_sequential_greedy(tmp_path):
                 np.asarray(rs["memory"].valid), err_msg="memory.valid")
 
 
+def test_batched_sampled_mode(tmp_path):
+    # sampled (DAgger-student) batched rollouts must run with an rng and
+    # must refuse to run without one (ADVICE r2: default rng=None raised
+    # a TypeError inside jax.random.split)
+    import pytest
+
+    env, policy, params = _setup(tmp_path)
+    bm, bt = run_episodes_batched(policy, params, env, [0, 1], CFG,
+                                  greedy=False,
+                                  rng=jax.random.PRNGKey(7),
+                                  collect_teacher=True)
+    assert len(bm) == 2 and all(np.isfinite(m["nav_error"]) for m in bm)
+    with pytest.raises(ValueError, match="rng"):
+        run_episodes_batched(policy, params, env, [0, 1], CFG,
+                             greedy=False)
+    with pytest.raises(ValueError, match="rng"):
+        run_episode(policy, params, env, 0, CFG, greedy=False)
+
+
 def test_batched_handles_uneven_lengths(tmp_path):
     env, policy, params = _setup(tmp_path)
     # all six episodes at once: different path lengths force frozen rows

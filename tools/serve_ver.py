@@ -87,11 +87,16 @@ def _claim(inbox: str, claimed_dir: str, limit: int):
     return got
 
 
-def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 300.0):
+def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 1800.0):
     """Return requests stranded in dead servers' ``.claimed.*`` dirs to
     the inbox.  A claimed dir is swept when its owner pid is not alive on
     this host, or when its requests have sat longer than ``max_age_s``
-    (covers servers on other hosts of a shared filesystem)."""
+    (covers servers on other hosts of a shared filesystem).
+
+    ``max_age_s`` must exceed a cold server's worst-case first-compile
+    (5-10+ min through the tunnel, CLAUDE.md) or an alive-but-compiling
+    server's batch gets stolen and served twice; servers additionally
+    re-touch their claimed files' mtimes while working (see serve())."""
     for name in os.listdir(queue):
         if not name.startswith(".claimed."):
             continue
@@ -188,6 +193,13 @@ def serve(args) -> int:
             _sweep_orphans(args.queue, inbox)
             last_sweep = time.time()
         reqs = _claim(inbox, claimed, B)
+        # freshen claim mtimes: the stale-sweep clock on other servers
+        # must start at claim time, not at the client's write time
+        for p in reqs:
+            try:
+                os.utime(p)
+            except OSError:
+                pass
         if not reqs:
             if args.max_requests is not None and served >= args.max_requests:
                 break
@@ -251,7 +263,12 @@ def serve(args) -> int:
             tmp = os.path.join(outbox, f".{rid}.tmp.npz")
             np.savez(tmp, **out)
             os.replace(tmp, os.path.join(outbox, f"{rid}.npz"))
-            os.remove(path)
+            try:
+                os.remove(path)
+            except OSError:
+                # another server's orphan sweep reclaimed it mid-batch;
+                # the response is already written, don't crash
+                pass
         served += n
         if args.max_requests is not None and served >= args.max_requests:
             break

@@ -40,7 +40,15 @@ def parse_args():
     p.add_argument("--ckpt-interval", type=int, default=1000)
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run val-split eval every N steps (0 = off)")
-    p.add_argument("--eval-limit", type=int, default=32)
+    p.add_argument("--eval-limit", type=int, default=32,
+                   help="cap eval-tick viewpoints (0 = full val split; "
+                        "use 0 or a large value with --save-best — the "
+                        "reference eval hook runs the full split)")
+    p.add_argument("--occ-thresholds", type=float, nargs="+",
+                   default=[0.25],
+                   help="occupancy decode thresholds for the eval tick "
+                        "(same surface as tools/test.py; metrics get "
+                        "@thr suffixes when more than one)")
     p.add_argument("--save-best", default=None,
                    help="eval metric to track (e.g. miou, mAP_0.25); the "
                         "best checkpoint is kept at ckpt_best/ (the "
@@ -65,6 +73,12 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.save_best and 0 < args.eval_limit < 256:
+        print(f"WARNING: --save-best {args.save_best!r} with "
+              f"--eval-limit {args.eval_limit}: best-checkpoint "
+              "selection on a small eval subset is noise-driven; the "
+              "reference eval hook scores the FULL val split "
+              "(eval_hooks.py:76-82). Pass --eval-limit 0 for real runs.")
     from vln_ver_tpu.utils.platform import apply_platform_env
     apply_platform_env()
     from vln_ver_tpu.parallel.multihost import initialize_if_needed
@@ -260,7 +274,8 @@ def main():
                         # replicate, so TP-sharded params stay sharded.
                         em = evaluate_model(
                             model, state.params, val_ds,
-                            limit=args.eval_limit,
+                            occ_thresholds=tuple(args.occ_thresholds),
+                            limit=args.eval_limit or None,
                             classes=val_kw.get("classes", ()),
                             batch_size=batch_shards, mesh=mesh)
                         em["step"] = step

@@ -42,6 +42,8 @@ def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
                 rng=None, collect_teacher: bool = False):
     """Roll one episode; returns (metrics, trace) where trace holds per-step
     (logits, teacher_action) for imitation losses."""
+    if not greedy and rng is None:
+        raise ValueError("sampled rollout (greedy=False) requires rng")
     state = env.reset(ep_idx)
     mem = init_memory(1, cfg.max_nodes, cfg.embed_dims)
     text_feats = None
@@ -106,6 +108,8 @@ def run_episodes_batched(policy: VLNPolicy, params, env: R2REnv,
     frozen (their rows still flow through the batch, outputs ignored).
     Returns (metrics_list, traces_list) parallel to ``ep_idxs``.
     """
+    if not greedy and rng is None:
+        raise ValueError("sampled rollout (greedy=False) requires rng")
     bsz = len(ep_idxs)
     states = [env.reset(i) for i in ep_idxs]
     mem = init_memory(bsz, cfg.max_nodes, cfg.embed_dims)

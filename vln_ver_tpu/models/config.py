@@ -77,6 +77,10 @@ class VERConfig:
     occ_layout: str = "zhwc"
     with_box_refine: bool = True
     occ_loss_type: str = "focal_loss"
+    # ce-mode convention affirmation (see __post_init__): set True only
+    # when a ce_loss config's occupancy_classes == 16 genuinely already
+    # counts the empty class as its last channel
+    occ_ce_includes_empty: bool = False
     # temporal self-attention over a 2-slot BEV queue (the reference's
     # VoxelTemporalSelfAttention path, op order self_attn->norm->cross_attn
     # ->norm->ffn->norm; inert in the active MP3D config)
@@ -101,6 +105,25 @@ class VERConfig:
     # storing its activations — enables larger train batches at the
     # 36-view shape.  Numerically identical (tests/test_train_step.py).
     remat_encoder: bool = False
+
+    def __post_init__(self):
+        # CE-mode occupancy labeling trap (train/objective.py folds the
+        # empty label into the LAST channel): in ce_loss mode the channel
+        # set must INCLUDE empty as its last channel (reference
+        # voxelformer_occupancy_head.py:1527-1533 keeps argmax <
+        # occupancy_classes-1), but the dataclass default
+        # occupancy_classes=16 is the focal-mode REAL-class count for
+        # MP3D — combining the two silently aliases real class 15 with
+        # empty.
+        if (self.occ_loss_type == "ce_loss"
+                and self.occupancy_classes == 16
+                and not self.occ_ce_includes_empty):
+            raise ValueError(
+                "occ_loss_type='ce_loss' with occupancy_classes=16: ce "
+                "mode needs occupancy_classes to include the empty class "
+                "as its last channel (MP3D: 17 = 16 semantic + empty). "
+                "If 16 really is your including-empty count, set "
+                "occ_ce_includes_empty=True.")
 
     @property
     def use_pallas(self) -> bool:

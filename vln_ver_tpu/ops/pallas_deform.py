@@ -123,8 +123,14 @@ def _kernel_v2(loc_ref, w_ref, value_ref, out_ref, *, H, W, num_heads,
             xrow = ((ix == x0i) * (1.0 - ax) + (ix == x0i + 1) * ax)
             wgt = w_ref[0, :, h * num_points + p:h * num_points + p + 1]
             yrow = wgt * ((iy == y0i) * (1.0 - ay) + (iy == y0i + 1) * ay)
-            # expand to the flat s axis
-            wy_s = pltpu.repeat(yrow, W, axis=1)             # (tq, hw)
+            # expand to the flat s = y*W + x axis.  NB: the y factor must
+            # be ELEMENT-repeated (wy_s[s] = yrow[s // W]), which is a
+            # block broadcast over a trailing size-1 axis — pltpu.repeat
+            # on the existing axis would TILE (wy_s[s] = yrow[s % H]),
+            # a different (wrong) computation.
+            tq = yrow.shape[0]
+            wy_s = pltpu.repeat(yrow[:, :, None], W,
+                                axis=2).reshape(tq, hw)      # (tq, hw)
             x_s = jnp.concatenate([xrow] * H, axis=1)        # (tq, hw)
             acc = acc + wy_s * x_s
         v_h = value_ref[0, :, h * head_dim:(h + 1) * head_dim]

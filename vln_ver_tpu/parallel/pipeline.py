@@ -82,7 +82,7 @@ def pipeline_apply(mesh: Mesh, layer_fn: Callable, stacked_params,
     if "data" in axes and mb % axes["data"] != 0:
         raise ValueError(
             f"microbatch rows {mb} (batch {B} / {M} microbatches) must "
-            f"divide the mesh data axis {axes['data']}")
+            f"be divisible by the mesh data axis size {axes['data']}")
     x_mb = x.reshape(M, mb, *x.shape[1:])
     bargs_mb = tuple(a.reshape(M, mb, *a.shape[1:]) for a in batch_args)
 

@@ -8,7 +8,8 @@ Mirrors VoxelFormerOccupancyHead.loss / loss_addlayout / loss_only_occupancy
   [1]*8+[0,0], avg by synced num_pos);
 * occupancy focal loss (weight 1.0) on the LAST layer only, averaged by the
   number of occupied voxels;
-* optional layout L1 on all layers (reg-cost-only matching).
+* optional layout L1 on the LAST decoder layer only (reg-cost-only
+  matching) — see the reference-quirk note at the layout block below.
 
 Batch contract (all padded static shapes):
   features (B, cams, fh, fw, C); world2pixel (B, cams, 4, 4);
@@ -118,7 +119,12 @@ def compute_losses(cfg: VERConfig, outs: Dict, batch: Dict,
 
         if cfg.add_layout and outs.get("all_layout_preds") is not None:
             # reg-cost-only matching vs the (single) gt layout box
-            # (head:802-803, loss weight shared with bbox L1)
+            # (head:802-803, loss weight shared with bbox L1).
+            # REFERENCE QUIRK — last layer ONLY, on purpose: the reference
+            # computes per-layer layout losses but keys only the last one
+            # into loss_dict (voxelformer_occupancy_head.py:1232-1243), so
+            # intermediate layers get no layout gradient.  Matching that
+            # behavior exactly; do not "fix" this into a per-layer loss.
             gt_layout = batch["gt_layout"]           # (B, 1, 9)
             layout_valid = batch["layout_valid"]     # (B, 1)
             lay_norm = normalize_bbox(gt_layout)

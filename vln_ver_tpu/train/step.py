@@ -42,14 +42,6 @@ def make_train_step(cfg: VERConfig, tc: TrainConfig,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: VERConfig) -> Callable:
-    """Forward-only step returning raw head outputs (decode is separate)."""
-    def eval_step(params, apply_fn, batch):
-        return apply_fn(params, batch["features"], batch["world2pixel"],
-                        batch["origin_shift"], deterministic=True)
-    return jax.jit(eval_step, static_argnums=(1,))
-
-
 def optax_global_norm(tree) -> jnp.ndarray:
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
