@@ -572,3 +572,169 @@ class OracleVoxelFormer(nn.Module):
     def forward(self, mlvl_feats, lidar2img, originshift):
         self.eval()
         return self.pts_bbox_head(mlvl_feats, lidar2img, originshift)
+
+
+# ---------------------------------------------------------------------------
+# Training oracle: the reference's loss + optimizer recipe in torch.
+#
+# Written from reference semantics (NOT copied):
+#   * matching:  hungarian_assigner_3d.py:60-133 (FocalLossCost weight 2.0 +
+#     BBox3DL1Cost weight 0.25 on normalized codes[:8], scipy
+#     linear_sum_assignment on the detached cost)
+#   * targets:   voxelformer_occupancy_head.py:648-760 (_get_target_single:
+#     labels num_classes for unmatched, label_weights all-ones,
+#     bbox_weights 1.0 at matched rows)
+#   * losses:    voxelformer_occupancy_head.py:903-990 (loss_single: mmdet
+#     sigmoid focal alpha .25 gamma 2 weight 2.0 with cls_avg_factor =
+#     max(num_pos, 1); L1 weight 0.25 over code_weights [1]*8+[0,0] with
+#     isnotnan row filter, avg = clamp(num_pos, 1); occupancy focal
+#     weight 1.0 avg = #occupied voxels; loss_flow = 0; nan_to_num)
+#     summed over decoder layers (loss(): occupancy keyed from the LAST
+#     layer only, head:1105-1243)
+#   * optimizer: vocc.py:261-270 (AdamW lr 1e-4, betas default, wd 0.01,
+#     global-norm grad clip 300)
+# Used by tests/test_train_dynamics_parity.py to prove our jitted train
+# step reproduces the reference's training dynamics step-for-step.
+# ---------------------------------------------------------------------------
+
+
+def normalize_bbox_torch(b):
+    """(N, 9) gravity boxes -> (N, 10) codes (core/bbox/util.py:4-24)."""
+    return torch.cat([
+        b[..., 0:2], b[..., 3:4].log(), b[..., 4:5].log(), b[..., 2:3],
+        b[..., 5:6].log(), b[..., 6:7].sin(), b[..., 6:7].cos(),
+        b[..., 7:8], b[..., 8:9]], dim=-1)
+
+
+def focal_cost_torch(cls_logits, gt_labels, alpha=0.25, gamma=2.0,
+                     weight=2.0, eps=1e-12):
+    p = cls_logits.sigmoid()
+    neg = -(1 - p + eps).log() * (1 - alpha) * p.pow(gamma)
+    pos = -(p + eps).log() * alpha * (1 - p).pow(gamma)
+    return (pos[:, gt_labels] - neg[:, gt_labels]) * weight
+
+
+def mmdet_focal_loss(logits, labels, avg_factor, alpha=0.25, gamma=2.0,
+                     loss_weight=1.0):
+    """mmdet py_sigmoid_focal_loss; ``labels == C`` is background."""
+    num_classes = logits.shape[-1]
+    target = F.one_hot(labels.clamp(max=num_classes),
+                       num_classes + 1)[..., :num_classes].float()
+    p = logits.sigmoid()
+    pt = (1 - p) * target + p * (1 - target)
+    focal_w = (alpha * target + (1 - alpha) * (1 - target)) * pt.pow(gamma)
+    bce = F.binary_cross_entropy_with_logits(logits, target,
+                                             reduction="none")
+    return loss_weight * (bce * focal_w).sum() / max(float(avg_factor), 1.0)
+
+
+def _match_single_torch(cls_scores, bbox_preds, gt_norm, gt_labels):
+    """(nq, C), (nq, 10), (k, 10), (k,) -> (k,) matched query rows."""
+    from scipy.optimize import linear_sum_assignment
+    with torch.no_grad():
+        reg = torch.cdist(bbox_preds[:, :8], gt_norm[:, :8], p=1) * 0.25
+        cls = focal_cost_torch(cls_scores, gt_labels)
+        cost = (cls + reg).cpu().numpy()
+    rows, cols = linear_sum_assignment(cost)
+    out = torch.full((gt_norm.shape[0],), -1, dtype=torch.long)
+    out[torch.as_tensor(cols)] = torch.as_tensor(rows)
+    return out
+
+
+def oracle_loss(cfg: VERConfig, outs, batch):
+    """Reference loss dict on a padded batch (same contract as
+    train/objective.compute_losses)."""
+    code_weights = torch.tensor([1.0] * 8 + [0.0, 0.0])
+    all_cls = outs["all_cls_scores"]    # (L, bs, nq, C)
+    all_box = outs["all_bbox_preds"]    # (L, bs, nq, 10)
+    gt_boxes = batch["gt_boxes"]        # (bs, MAX_GT, 9) gravity
+    gt_labels = batch["gt_labels"]
+    gt_valid = batch["gt_valid"]
+    bs = gt_boxes.shape[0]
+    loss_dict = {}
+    num_layers = all_cls.shape[0]
+    for lyr in range(num_layers):
+        labels_l, tgt_l, w_l = [], [], []
+        num_pos = 0
+        for j in range(bs):
+            v = gt_valid[j]
+            k = int(v.sum())
+            num_pos += k
+            gts = gt_boxes[j][v]
+            gls = gt_labels[j][v]
+            labels = torch.full((cfg.num_query,), cfg.num_classes,
+                                dtype=torch.long)
+            tgt = torch.zeros(cfg.num_query, 9)
+            w = torch.zeros(cfg.num_query)
+            if k:
+                rows = _match_single_torch(
+                    all_cls[lyr, j], all_box[lyr, j],
+                    normalize_bbox_torch(gts), gls)
+                labels[rows] = gls
+                tgt[rows] = gts
+                w[rows] = 1.0
+            labels_l.append(labels)
+            tgt_l.append(tgt)
+            w_l.append(w)
+        labels = torch.cat(labels_l)
+        tgt = torch.cat(tgt_l)
+        w = torch.cat(w_l)
+        cls_avg = max(num_pos, 1)
+        loss_cls = mmdet_focal_loss(
+            all_cls[lyr].reshape(-1, cfg.num_classes), labels, cls_avg,
+            loss_weight=cfg.loss_cls_weight)
+        norm_tgt = normalize_bbox_torch(tgt)
+        isnotnan = torch.isfinite(norm_tgt).all(dim=-1)
+        bw = w[:, None] * code_weights
+        preds = all_box[lyr].reshape(-1, cfg.code_size)
+        loss_bbox = cfg.loss_bbox_weight * (
+            (preds[isnotnan] - norm_tgt[isnotnan]).abs()
+            * bw[isnotnan]).sum() / max(num_pos, 1)
+        key = "" if lyr == num_layers - 1 else f"d{lyr}."
+        loss_dict[key + "loss_cls"] = torch.nan_to_num(loss_cls)
+        loss_dict[key + "loss_bbox"] = torch.nan_to_num(loss_bbox)
+    occ_preds = outs["occupancy_preds"]  # (bs, n_vox, C_occ)
+    gt_occ = batch["occ_dense"].reshape(-1)
+    num_occ = (gt_occ < cfg.occupancy_classes).sum()
+    loss_dict["loss_occupancy"] = torch.nan_to_num(mmdet_focal_loss(
+        occ_preds.reshape(-1, cfg.occupancy_classes), gt_occ,
+        float(num_occ), loss_weight=cfg.loss_occ_weight))
+    loss_dict["loss_flow"] = torch.zeros(())
+    return loss_dict
+
+
+def zero_dropout(module: nn.Module):
+    """Disable every dropout (incl. nn.MultiheadAttention's internal p)
+    so train-mode forwards are deterministic for parity runs."""
+    for m in module.modules():
+        if isinstance(m, nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, nn.MultiheadAttention):
+            m.dropout = 0.0
+    return module
+
+
+def oracle_train_steps(oracle: "OracleVoxelFormer", cfg: VERConfig,
+                       batches, lr_fn, weight_decay=0.01, clip_norm=300.0):
+    """Run len(batches) reference train steps; returns per-step total
+    losses.  ``lr_fn(step) -> lr`` mirrors whatever schedule the JAX side
+    uses (vocc.py:261-293 recipe: AdamW + global-norm clip 300)."""
+    zero_dropout(oracle)
+    opt = torch.optim.AdamW(oracle.parameters(), lr=float(lr_fn(0)),
+                            betas=(0.9, 0.999), eps=1e-8,
+                            weight_decay=weight_decay)
+    losses = []
+    for step, batch in enumerate(batches):
+        for g in opt.param_groups:
+            g["lr"] = float(lr_fn(step))
+        opt.zero_grad()
+        outs = oracle.pts_bbox_head(batch["mlvl_feats"],
+                                    batch["world2pixel"],
+                                    batch["origin_shift"])
+        ld = oracle_loss(cfg, outs, batch)
+        total = sum(ld.values())
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(oracle.parameters(), clip_norm)
+        opt.step()
+        losses.append(float(total.detach()))
+    return losses

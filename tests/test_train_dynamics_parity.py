@@ -1,0 +1,217 @@
+"""Training-dynamics parity: N jitted train steps vs the torch oracle.
+
+The strongest available proxy for quality parity without licensed MP3D
+data (VERDICT r2 #1): starting from the SAME converted init, feeding the
+SAME batches, using the SAME (scipy host) matcher, fp32, dropout off, the
+N-step total-loss trajectory and the parameter drift of our jitted step
+(forward + in-graph targets + losses + backward + clip + AdamW) must
+match the reference recipe (loss_single voxelformer_occupancy_head.py:
+903-990 + AdamW/clip vocc.py:261-270) run through torch autograd.
+
+This end-to-end check subsumes the piecewise loss/matcher/optimizer
+oracles: any silent avg-factor / code-weight / clip / schedule / stop-
+gradient divergence shows up as trajectory drift here.
+
+Full-size 3-step trajectory diff: tools/fidelity_train.py (slow, not CI).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from vln_ver_tpu import geometry
+from vln_ver_tpu.convert import convert_state_dict
+from vln_ver_tpu.models import VERConfig, VoxelFormer
+from vln_ver_tpu.train import TrainConfig, create_train_state, \
+    make_train_step
+from vln_ver_tpu.train.state import make_lr_schedule
+
+from oracle_voxelformer import OracleVoxelFormer, oracle_train_steps
+
+CFG = VERConfig(
+    num_cams=3, feat_h=6, feat_w=6, in_channels=64,
+    embed_dims=64, num_heads=4, encoder_layers=2, decoder_layers=2,
+    ffn_dim=128, num_query=12, num_layout_query=4, num_classes=5,
+    occupancy_classes=4, occ_dims=8,
+    bev_z=2, bev_h=5, bev_w=5,
+    occupancy_size=(0.6, 0.6, 0.5),   # occ grid (z, y, x) = (7, 20, 20)
+    dropout_rate=0.0, deform_impl="gather",
+    refine_occ=True, occ_layout="ref",
+)
+MAX_GT = 4
+N_STEPS = 8
+# bs=1: the reference's recipe shape (samples_per_gpu=1, vocc.py:247) AND
+# a semantic necessity — the reference's SCA rebatch takes its per-camera
+# indexes from sample 0 (spatial_cross_attention.py:130) and the occ
+# branch's raw .view mixes batch elements at bs>1, so the oracle (which
+# reproduces both verbatim) only defines the reference function at bs=1.
+# Cross-sample loss normalization equivalence (global sums ≙ DDP
+# reduce_mean) is covered by objective.py's docstring + mesh parity tests.
+BS = 1
+
+# params with no gradient path in this config (inert positional encoding,
+# layout query embedding with add_layout off): torch.optim skips
+# grad-None params entirely (no weight decay) while optax decays
+# zero-grad params — excluded from the drift comparison, with the
+# jax-side decay drift asserted tiny separately.
+_NOGRAD_KEYS = ("positional_encoding", "query_layout_embedding")
+
+
+def _make_batch(seed: int):
+    rng = np.random.default_rng(seed)
+    feats = rng.standard_normal(
+        (BS, CFG.num_cams, CFG.feat_h, CFG.feat_w,
+         CFG.in_channels)).astype(np.float32)
+    w2p = np.stack([
+        np.stack([geometry.make_pinhole_world2pixel(
+            90.0, deg, [0.1 * b, -0.1, 1.0])
+            for deg in (0.0, 120.0, 240.0)])
+        for b in range(BS)]).astype(np.float32)
+    shift = rng.normal(0, 0.5, (BS, 3)).astype(np.float32)
+    # gravity boxes (cx, cy, cz, w, l, h, yaw, vx=0, vy=0)
+    gt = np.zeros((BS, MAX_GT, 9), np.float32)
+    gt[..., 0:2] = rng.uniform(-3, 3, (BS, MAX_GT, 2))
+    gt[..., 2] = rng.uniform(0.0, 1.5, (BS, MAX_GT))
+    gt[..., 3:6] = rng.uniform(0.3, 2.0, (BS, MAX_GT, 3))
+    gt[..., 6] = rng.uniform(-np.pi, np.pi, (BS, MAX_GT))
+    labels = rng.integers(0, CFG.num_classes, (BS, MAX_GT)).astype(np.int32)
+    valid = np.zeros((BS, MAX_GT), bool)
+    for j in range(BS):
+        valid[j, : int(rng.integers(1, MAX_GT + 1))] = True
+    occ = rng.integers(0, CFG.occupancy_classes + 1,
+                       (BS, CFG.voxel_num)).astype(np.int32)
+    return dict(features=feats, world2pixel=w2p, origin_shift=shift,
+                gt_boxes=gt, gt_labels=labels, gt_valid=valid,
+                occ_dense=occ)
+
+
+def _to_torch(batch):
+    return dict(
+        mlvl_feats=torch.from_numpy(
+            batch["features"].transpose(1, 0, 2, 3, 4).reshape(
+                CFG.num_cams, BS, CFG.feat_h * CFG.feat_w,
+                CFG.in_channels).copy()),
+        world2pixel=torch.from_numpy(batch["world2pixel"]),
+        origin_shift=torch.from_numpy(batch["origin_shift"]),
+        gt_boxes=torch.from_numpy(batch["gt_boxes"]),
+        gt_labels=torch.from_numpy(batch["gt_labels"]).long(),
+        gt_valid=torch.from_numpy(batch["gt_valid"]),
+        occ_dense=torch.from_numpy(batch["occ_dense"]).long(),
+    )
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v, np.float64)
+    return out
+
+
+@pytest.fixture(scope="module")
+def trajectories():
+    torch.manual_seed(0)
+    oracle = OracleVoxelFormer(CFG)
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    sd0 = {k: v.detach().numpy().copy()
+           for k, v in oracle.state_dict().items()}
+    params0, _ = convert_state_dict(sd0, CFG)
+
+    batches = [_make_batch(100 + i) for i in range(N_STEPS)]
+
+    # ---- JAX side -----------------------------------------------------
+    tc = TrainConfig(learning_rate=1e-4, weight_decay=0.01,
+                     warmup_steps=0, total_steps=10**8,
+                     grad_clip_norm=300.0, matcher="host")
+    model = VoxelFormer(CFG)
+    state = create_train_state(model, {"params": params0}, tc)
+    step_fn = make_train_step(CFG, tc, donate=False)
+    rng = jax.random.PRNGKey(0)
+    losses_j = []
+    for i, b in enumerate(batches):
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step_fn(state, jb, jax.random.fold_in(rng, i))
+        losses_j.append(float(metrics["loss"]))
+    final_j = _flatten(jax.device_get(state.params["params"]))
+
+    # ---- torch side ---------------------------------------------------
+    sched = make_lr_schedule(tc)
+    losses_t = oracle_train_steps(
+        oracle, CFG, [_to_torch(b) for b in batches],
+        lr_fn=lambda s: float(sched(s)), weight_decay=tc.weight_decay,
+        clip_norm=tc.grad_clip_norm)
+    sdN = {k: v.detach().numpy().copy()
+           for k, v in oracle.state_dict().items()}
+    paramsN, _ = convert_state_dict(sdN, CFG)
+    final_t = _flatten(paramsN)
+    init = _flatten(params0)
+    return losses_j, losses_t, init, final_j, final_t
+
+
+def test_loss_trajectory_matches(trajectories):
+    losses_j, losses_t, *_ = trajectories
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-4,
+                               err_msg=f"jax {losses_j} vs torch {losses_t}")
+    # and training actually moves: the trajectory is not constant
+    assert abs(losses_t[0] - losses_t[-1]) > 1e-4
+
+
+def test_parameter_drift_matches(trajectories):
+    """Drift comparison metric: relative L2, not element-wise max.
+
+    AdamW's first update is ±lr·sign(g) per element (mhat/sqrt(vhat) =
+    g/|g| at step 1), so any element whose true gradient is below fp32
+    noise moves a FULL ±lr in a noise-determined direction — two exact
+    implementations of the same recipe diverge by 2·lr on such elements
+    (the reference vs itself on different hardware shows the same).
+    Element-wise drift max is therefore bounded loosely (a few lr), and
+    the real assertion is the drift VECTOR agreeing in relative L2
+    (measured: worst meaningful leaf 1.4%, global 1.0%)."""
+    _, _, init, final_j, final_t = trajectories
+    lr = 1e-4
+    num2 = den2 = 0.0
+    for k in init:
+        if any(s in k for s in _NOGRAD_KEYS):
+            continue
+        dj = final_j[k] - init[k]
+        dt = final_t[k] - init[k]
+        err = float(np.max(np.abs(dj - dt)))
+        # sign-flip bound: elements move at most ~N_STEPS updates apart
+        assert err < N_STEPS * lr, (k, err)
+        if "self_attn/attn/key/bias" in k:
+            # structurally zero gradient (key bias cancels in softmax):
+            # pure noise drift on both sides, already bounded above
+            continue
+        num = float(np.linalg.norm(dj - dt))
+        den = float(np.linalg.norm(dt)) + 1e-30
+        assert num / den < 0.05, (k, num / den)
+        num2 += num ** 2
+        den2 += den ** 2
+    global_rel = (num2 ** 0.5) / (den2 ** 0.5)
+    assert global_rel < 0.025, global_rel
+
+
+def test_nograd_params_only_decay(trajectories):
+    """The excluded params must differ from init ONLY by AdamW weight
+    decay on the jax side (torch skips grad-None params): bounds the
+    known benign divergence instead of ignoring it."""
+    _, _, init, final_j, final_t = trajectories
+    for k in init:
+        if not any(s in k for s in _NOGRAD_KEYS):
+            continue
+        # torch: untouched
+        np.testing.assert_array_equal(final_t[k], init[k], err_msg=k)
+        # jax: pure decay, factor (1 - lr*wd)^N per step bound
+        decay = np.abs(final_j[k] - init[k])
+        bound = np.abs(init[k]) * (1e-4 * 0.01) * (N_STEPS + 1) + 1e-12
+        assert np.all(decay <= bound), k
