@@ -66,6 +66,10 @@ def parse_args():
     p.add_argument("--bert-vocab", default=None,
                    help="BERT vocab.txt; tokenize instructions with "
                         "WordPiece so ids match --text-init embeddings")
+    p.add_argument("--init-from-pretrain", default=None,
+                   help="checkpoint dir from tools/pretrain_vln.py; loads "
+                        "the pretrained policy subtree (MLM head dropped) "
+                        "— the DUET-lineage pretrain->finetune recipe")
     p.add_argument("--crossmodal-init", default=None,
                    help="msgpack from tools/convert_crossmodal.py; grafts "
                         "pretrained DUET/LXMERT x-layers into the local/"
@@ -220,6 +224,24 @@ def main():
                 jnp.asarray, xmodal["local"][f"block_{i}"])
             params["params"][f"global_block_{i}"] = jax.tree.map(
                 jnp.asarray, xmodal["global"][f"block_{i}"])
+    if args.init_from_pretrain:
+        from vln_ver_tpu.agent.pretrain import extract_policy_params
+        from vln_ver_tpu.utils.checkpoint import (latest_step,
+                                                  restore_state)
+        pdir = os.path.abspath(args.init_from_pretrain)
+        pstep = latest_step(pdir)
+        if pstep is None:
+            raise SystemExit(f"no checkpoint under {pdir}")
+        # restore against a matching pretrain-param template so orbax
+        # validates shapes, then keep only the policy subtree
+        from vln_ver_tpu.agent.pretrain import (VLNPretrainModel,
+                                                init_pretrain_params)
+        template = init_pretrain_params(VLNPretrainModel(cfg), env,
+                                        args.seed,
+                                        objects=objects is not None)
+        pre = restore_state(pdir, pstep, template)
+        params = jax.tree.map(jnp.asarray, extract_policy_params(pre))
+        print(f"init-from-pretrain: {pdir} step {pstep}")
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"policy params: {n_params/1e6:.2f}M, episodes: {len(episodes)}")
 

@@ -168,6 +168,28 @@ class VLNPolicy(nn.Module):
         return self.text_encoder(tokens, text_mask,
                                  deterministic=deterministic)
 
+    def local_fusion(self, tokens, text_mask, volume,
+                     text_feats: Optional[jnp.ndarray] = None,
+                     deterministic: bool = True):
+        """Shared local-branch computation (also driven standalone by the
+        pretraining proxy tasks, agent/pretrain.py): instruction-grounded
+        VER volume tokens.
+
+        Returns (x_loc (B, T, C) fused volume tokens, text_feats (B, L, C),
+        state_pred (B, 5))."""
+        if text_feats is None:
+            text_feats = self.encode_text(tokens, text_mask,
+                                          deterministic=deterministic)
+        local_tokens = self.ver_tokenizer(volume,
+                                          deterministic=deterministic)
+        state_pred = self.state_head(local_tokens)
+        lmask = jnp.ones(local_tokens.shape[:2], bool)
+        x_loc = local_tokens
+        for blk in self.local_blocks:
+            x_loc = blk(x_loc, lmask, text_feats, text_mask,
+                        deterministic=deterministic)
+        return x_loc, text_feats, state_pred
+
     def __call__(self, tokens, text_mask, volume, memory: EpisodicMemory,
                  cur_pos, cur_node_idx,
                  text_feats: Optional[jnp.ndarray] = None,
@@ -184,19 +206,10 @@ class VLNPolicy(nn.Module):
         """
         cfg = self.cfg
         b = tokens.shape[0]
-        if text_feats is None:
-            text_feats = self.encode_text(tokens, text_mask,
-                                          deterministic=deterministic)
-
         # -- local branch: instruction <-> current VER volume
-        local_tokens = self.ver_tokenizer(volume,
-                                          deterministic=deterministic)
-        state_pred = self.state_head(local_tokens)
-        lmask = jnp.ones((b, local_tokens.shape[1]), bool)
-        x_loc = local_tokens
-        for blk in self.local_blocks:
-            x_loc = blk(x_loc, lmask, text_feats, text_mask,
-                        deterministic=deterministic)
+        x_loc, text_feats, state_pred = self.local_fusion(
+            tokens, text_mask, volume, text_feats=text_feats,
+            deterministic=deterministic)
         local_ctx = self.local_ctx_proj(jnp.mean(x_loc, axis=1))  # (B, C)
 
         # -- global branch: instruction <-> episodic memory nodes
