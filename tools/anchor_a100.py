@@ -73,12 +73,16 @@ def forward_flops(cfg, num_cams: int) -> float:
     f += (occ_h * occ_w * occ_z) * (
         cfg.num_occ_fcs * cfg.occ_dims * cfg.occ_dims
         + cfg.occ_dims * cfg.occupancy_classes) * 2
-    # upsampler deconvs (3 stages, 2x2x2-stride kernels ~ 27-tap/8)
-    ch = [C, C // 2, C // 4, C // 8]
-    vol = cfg.bev_h * cfg.bev_w * cfg.bev_z
-    for s in range(3):
-        vol *= 8
-        f += vol * ch[s] * ch[s + 1] * 27 * 2 / 8     # stride-2 taps
+    # upsampler deconvs: the reference runs 3 stages of
+    # ConvTranspose3d(768, 768, kernel (3,5,5), stride (1,2,2))
+    # (voxelformer_occupancy_head.py:254-258) — CONSTANT embed_dims
+    # channels, 75 taps, z preserved (only (h, w) double per stage).
+    # Transposed-conv MACs = in_vol * Cin * Cout * taps (each input
+    # element feeds every tap); this dominates the whole forward.
+    vol = cfg.bev_z * cfg.bev_h * cfg.bev_w
+    for _ in range(3):
+        f += vol * C * C * 75 * 2
+        vol *= 4                                       # (h, w) each x2
     return f
 
 
