@@ -53,7 +53,11 @@ def make_multislice_mesh(num_slices: int, data: int, view: int = 1,
     assert num_slices * data * view == len(devices), (
         num_slices, data, view, len(devices))
     arr = None
-    if getattr(devices[0], "slice_index", None) is not None:
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slice_ids and len(slice_ids) == num_slices > 1:
+        # real multi-slice hardware: slice-major placement so `slice` is
+        # the DCN axis.  (Multi-process CPU also exposes slice_index, but
+        # as a single value — the reshape fallback below handles it.)
         from jax.experimental import mesh_utils
         arr = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, data, view),
