@@ -70,6 +70,17 @@ def main():
                         warmup=warmup)
     volumes_per_sec = batch / dt
 
+    # second operating point (batch 4) recorded in the same JSON line so
+    # operating-point moves can't masquerade as kernel wins round-over-
+    # round (both programs live in the persistent compile cache).
+    alt_batch = int(os.environ.get("BENCH_ALT_BATCH", "4"))
+    alt_vps = None
+    if alt_batch and alt_batch != batch:
+        f4, w4, s4 = _example_inputs(cfg, batch=alt_batch)
+        dt4 = scan_diff_time(run_n, (params, f4, w4, s4), iters,
+                             warmup=warmup)
+        alt_vps = alt_batch / dt4
+
     # vs_baseline = this run / round-1 recorded value.  The driver writes
     # BENCH_r01.json, BENCH_r02.json, ...; anchor to the EARLIEST round so
     # the ratio is a cumulative round-over-round progress signal.
@@ -88,12 +99,18 @@ def main():
         except Exception:
             pass
 
-    print(json.dumps({
+    line = {
         "metric": "ver_volumes_per_sec_per_chip_36view",
         "value": round(volumes_per_sec, 4),
         "unit": "volumes/s",
+        # round-over-round progress vs OUR round-1 number — NOT an A100
+        # ratio (the A100 anchor argument lives in docs/performance.md)
         "vs_baseline": round(vs_baseline, 4),
-    }))
+        "batch": batch,
+    }
+    if alt_vps is not None:
+        line[f"value_batch{alt_batch}"] = round(alt_vps, 4)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -48,8 +48,7 @@ def main():
 
     from __graft_entry__ import _example_inputs
     from vln_ver_tpu.models import VERConfig, VoxelFormer
-    from vln_ver_tpu.train import (TrainConfig, create_train_state,
-                                   make_train_step)
+    from vln_ver_tpu.train import TrainConfig, create_train_state
 
     b = args.batch
     if args.tiny:
@@ -86,7 +85,6 @@ def main():
                         shift[:1])
     tc = TrainConfig(warmup_steps=10, total_steps=1000)
     state0 = create_train_state(model, params, tc)
-    step = make_train_step(cfg, tc, donate=False)
 
     from vln_ver_tpu.train.objective import compute_losses
 
@@ -99,15 +97,34 @@ def main():
 
     def scan_steps(n):
         if args.mode == "step":
+            # full step semantics (tx.update + apply_updates + step
+            # counter + grad_norm metric) with a PLAIN-TUPLE scan carry:
+            # carrying the flax TrainState struct makes XLA copy the
+            # three 835 MB carry buffers (params, mu, nu) every
+            # iteration instead of aliasing them — +10.6 ms/step of
+            # phantom cost the real (donated, per-dispatch) train step
+            # does not pay.  Measured in tools/probe_step_delta.py:
+            # struct carry 117.5, tuple carry 107.4 ms at the vocc shape.
+            import optax
+
             @jax.jit
             def fn(state, batch, rng):
                 def body(carry, i):
-                    st, _ = carry
-                    st2, metrics = step(st, batch,
-                                        jax.random.fold_in(rng, i))
-                    return (st2, metrics["loss"].astype(jnp.float32)), ()
-                (st, loss), _ = jax.lax.scan(
-                    body, (state, jnp.float32(0.0)), jnp.arange(n))
+                    params, opt_state, acc = carry
+                    (loss, _), g = jax.value_and_grad(
+                        lambda p: (loss_fn(p, batch,
+                                           jax.random.fold_in(rng, i)),
+                                   ()), has_aux=True)(params)
+                    from vln_ver_tpu.train.step import optax_global_norm
+                    gn = optax_global_norm(g)
+                    upd, opt_state = state0.tx.update(g, opt_state,
+                                                      params)
+                    params = optax.apply_updates(params, upd)
+                    return (params, opt_state,
+                            acc + loss.astype(jnp.float32) + gn), ()
+                (pp, oo, loss), _ = jax.lax.scan(
+                    body, (state.params, state.opt_state,
+                           jnp.float32(0.0)), jnp.arange(n))
                 return loss
         elif args.mode == "grad":
             @jax.jit
