@@ -36,8 +36,14 @@ def main():
     cfg = VERConfig(num_cams=36, dtype=jnp.bfloat16)
     # defaults match the programs in the persistent compile cache.
     # batch sweep (min-of-3 scan-diff, on chip): 4 -> 88.2, 8 -> 91.6,
-    # 16 -> 64.3 volumes/s — batch 8 amortises the decoder/small-op
-    # overhead without hitting HBM pressure.
+    # 16 -> 64.3 volumes/s.  The batch-16 regression is ATTRIBUTED
+    # (tools/profile_parts.py, 2026-08-17): per-volume encoder lift
+    # rises 7.06 -> 11.10 ms (+57%) while decoder/occ stay flat — the
+    # per-layer deform A-matrix working set doubles to ~1.6 GB
+    # (16 samples x 36 cams x 8 heads x 900q x 196 taps bf16), past the
+    # locality knee of the A-construction + A@V fusion.  Batch 8 is the
+    # best single-chip operating point; larger global batches belong on
+    # the data-parallel mesh axis, not on one chip.
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     warmup = 3
