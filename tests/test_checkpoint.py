@@ -6,8 +6,8 @@ import numpy as np
 
 from tests.test_train_step import TINY, _init
 from vln_ver_tpu.train import make_train_step
-from vln_ver_tpu.utils.checkpoint import (latest_step, restore_state,
-                                          save_state)
+from vln_ver_tpu.utils.checkpoint import (AsyncSaver, latest_step,
+                                          restore_state, save_state)
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -33,6 +33,34 @@ def test_checkpoint_roundtrip(tmp_path):
     restored, metrics = step(restored, batch, jax.random.PRNGKey(1))
     assert int(restored.step) == 2
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_async_checkpoint_matches_sync(tmp_path):
+    """AsyncSaver writes the same restorable checkpoint as save_state,
+    and the snapshot is taken at save() time — mutating the state
+    afterwards (as the next train step does) must not corrupt it."""
+    _, state, batch, tc = _init()
+    step = make_train_step(TINY, tc, donate=False)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+
+    sync_dir = str(tmp_path / "sync")
+    async_dir = str(tmp_path / "async")
+    save_state(sync_dir, 1, state)
+    with AsyncSaver() as saver:
+        saver.save(async_dir, 1, state)
+        # advance training while the write is (potentially) in flight
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+    assert latest_step(async_dir) == 1
+
+    _, fresh_a, _, _ = _init()
+    _, fresh_b, _, _ = _init()
+    ra = restore_state(async_dir, 1, fresh_a)
+    rb = restore_state(sync_dir, 1, fresh_b)
+    for a, b in zip(jax.tree.leaves(ra.params), jax.tree.leaves(rb.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ra.opt_state),
+                    jax.tree.leaves(rb.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_bf16_train_step_finite():

@@ -193,13 +193,6 @@ def serve(args) -> int:
             _sweep_orphans(args.queue, inbox)
             last_sweep = time.time()
         reqs = _claim(inbox, claimed, B)
-        # freshen claim mtimes: the stale-sweep clock on other servers
-        # must start at claim time, not at the client's write time
-        for p in reqs:
-            try:
-                os.utime(p)
-            except OSError:
-                pass
         if not reqs:
             if args.max_requests is not None and served >= args.max_requests:
                 break
@@ -244,6 +237,18 @@ def serve(args) -> int:
                 os.remove(path)
         if not ok:
             continue
+
+        # freshen claim mtimes AFTER validation, before the (possibly
+        # minutes-long first-compile) forward: the stale-sweep clock on
+        # other servers must start at claim time, not at the client's
+        # write time.  Touching at claim time instead would make every
+        # malformed request look like a fresh half-write (the error path
+        # checks the client's mtime) and bounce it forever.
+        for p in ok:
+            try:
+                os.utime(p)
+            except OSError:
+                pass
 
         n = len(ok)
         while len(batch_f) < B:  # pad to the compiled batch

@@ -38,6 +38,11 @@ def parse_args():
                    help="default: the config's log_config.interval "
                         "(vocc.py:286), else 50")
     p.add_argument("--ckpt-interval", type=int, default=1000)
+    p.add_argument("--async-ckpt", action="store_true",
+                   help="overlap checkpoint serialization/disk I/O with "
+                        "training (orbax AsyncCheckpointer); the "
+                        "device->host snapshot is still taken at the "
+                        "save step")
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run val-split eval every N steps (0 = off)")
     p.add_argument("--eval-limit", type=int, default=32,
@@ -209,6 +214,11 @@ def main():
                                        "train", {}).get("classes", ()))},
                   f)
 
+    async_saver = None
+    if args.async_ckpt:
+        from vln_ver_tpu.utils.checkpoint import AsyncSaver
+        async_saver = AsyncSaver()
+
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
     logf = open(log_path, "a")
     t0 = time.perf_counter()
@@ -250,7 +260,10 @@ def main():
                           f"occ={m.get('loss_occupancy', 0):.4f} "
                           f"({m['sec_per_step']:.2f}s/step)")
                 if step % args.ckpt_interval == 0 or step == total_steps:
-                    save_state(ckpt_dir, step, state)
+                    if async_saver is not None:
+                        async_saver.save(ckpt_dir, step, state)
+                    else:
+                        save_state(ckpt_dir, step, state)
                 if args.eval_interval and (step % args.eval_interval == 0
                                            or step == total_steps):
                     from vln_ver_tpu.evaluation.runner import evaluate_model
@@ -300,6 +313,8 @@ def main():
                                     state)
                                 print(f"new best {args.save_best}="
                                       f"{cur:.4f} at step {step}")
+    if async_saver is not None:
+        async_saver.wait()   # flush any in-flight checkpoint write
     print("done")
 
 

@@ -1,3 +1,5 @@
-from .voxelformer import convert_state_dict, load_torch_checkpoint
+from .voxelformer import (convert_state_dict, export_state_dict,
+                          load_torch_checkpoint)
 
-__all__ = ["convert_state_dict", "load_torch_checkpoint"]
+__all__ = ["convert_state_dict", "export_state_dict",
+           "load_torch_checkpoint"]

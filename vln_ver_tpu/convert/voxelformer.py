@@ -246,6 +246,171 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: VERConfig
     return {"pts_bbox_head": head}, skipped
 
 
+# ---------------------------------------------------------------------------
+# Reverse direction: flax param tree -> reference state_dict.
+#
+# Inverts every mapping above exactly (transposes/reshapes/flips are
+# involutions), so convert_state_dict(export_state_dict(p)) == p bitwise.
+# This lets a model trained here be exported as a reference-format
+# checkpoint that the torch codebase (or any downstream torch consumer)
+# loads by name — the missing keys are only the reference's dead
+# ``img_backbone/img_neck`` (unused on the active MP3D path,
+# voxelformer.py:282-289) and the ``code_weights`` loss buffer.
+# ---------------------------------------------------------------------------
+
+
+def _np32(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x, dtype=np.float32))
+
+
+def _unlin(out: Dict[str, np.ndarray], name: str, tree: dict) -> None:
+    out[name + ".weight"] = _np32(tree["kernel"]).T.copy()
+    out[name + ".bias"] = _np32(tree["bias"])
+
+
+def _unln(out: Dict[str, np.ndarray], name: str, tree: dict) -> None:
+    out[name + ".weight"] = _np32(tree["scale"])
+    out[name + ".bias"] = _np32(tree["bias"])
+
+
+def _unmha(out: Dict[str, np.ndarray], name: str, tree: dict) -> None:
+    attn = tree["attn"]
+
+    def unproj(t):
+        k = _np32(t["kernel"])            # (E, H, D)
+        e = k.shape[0]
+        return k.reshape(e, e).T.copy(), _np32(t["bias"]).reshape(e)
+
+    qw, qb = unproj(attn["query"])
+    kw, kb = unproj(attn["key"])
+    vw, vb = unproj(attn["value"])
+    out[name + ".attn.in_proj_weight"] = np.concatenate([qw, kw, vw], 0)
+    out[name + ".attn.in_proj_bias"] = np.concatenate([qb, kb, vb], 0)
+    ok = _np32(attn["out"]["kernel"])     # (H, D, E)
+    e = ok.shape[2]
+    out[name + ".attn.out_proj.weight"] = ok.reshape(e, e).T.copy()
+    out[name + ".attn.out_proj.bias"] = _np32(attn["out"]["bias"])
+
+
+def _unconv_t3d(out: Dict[str, np.ndarray], name: str, tree: dict) -> None:
+    k = _np32(tree["kernel"])             # (kD,kH,kW,in,out), flipped
+    out[name + ".weight"] = np.ascontiguousarray(
+        k[::-1, ::-1, ::-1].transpose(3, 4, 0, 1, 2))
+    out[name + ".bias"] = _np32(tree["bias"])
+
+
+def _unseq_lnrelu(out, base: str, tree: dict, num_fcs: int) -> None:
+    for i in range(num_fcs):
+        _unlin(out, f"{base}.{3 * i}", tree[f"fc{i}"])
+        _unln(out, f"{base}.{3 * i + 1}", tree[f"ln{i}"])
+    _unlin(out, f"{base}.{3 * num_fcs}", tree["out"])
+
+
+def _unseq_relu(out, base: str, tree: dict, num_fcs: int) -> None:
+    for i in range(num_fcs):
+        _unlin(out, f"{base}.{2 * i}", tree[f"fc{i}"])
+    _unlin(out, f"{base}.{2 * num_fcs}", tree["out"])
+
+
+def _undeform(out, base: str, tree: dict) -> None:
+    _unlin(out, base + ".value_proj", tree["value_proj"])
+    _unlin(out, base + ".sampling_offsets", tree["sampling_offsets"])
+    _unlin(out, base + ".attention_weights", tree["attention_weights"])
+    if "output_proj" in tree:
+        _unlin(out, base + ".output_proj", tree["output_proj"])
+
+
+def export_state_dict(params: dict, cfg: VERConfig) -> Dict[str, np.ndarray]:
+    """This repo's ``params['params']`` tree -> reference state_dict
+    (torch names -> numpy fp32 arrays).
+
+    Exact inverse of :func:`convert_state_dict`: round-tripping is
+    bitwise (tests/test_export_voxelformer.py).  The result loads into
+    the reference model with ``strict=False`` — missing keys are only
+    the dead ``img_backbone/img_neck`` and loss buffers the reference
+    registers itself.
+    """
+    head = params["pts_bbox_head"]
+    h = "pts_bbox_head"
+    out: Dict[str, np.ndarray] = {}
+
+    out[f"{h}.voxel_embedding.weight"] = _np32(head["voxel_embedding"])
+    if "positional_encoding" in head:
+        pe = head["positional_encoding"]
+    else:
+        # inert on the active path (encoder.py docstring), so flax never
+        # initialises it unless the temporal variant ran; export zeros of
+        # the reference shapes to keep the .pth strict-loadable
+        pe = {"row_embed": np.zeros((cfg.bev_h, cfg.embed_dims),
+                                    np.float32),
+              "col_embed": np.zeros((cfg.bev_w, cfg.embed_dims),
+                                    np.float32),
+              "z_embed": np.zeros((cfg.bev_z, cfg.embed_dims),
+                                  np.float32)}
+    for k in ("row_embed", "col_embed", "z_embed"):
+        out[f"{h}.positional_encoding.{k}.weight"] = _np32(pe[k])
+
+    if not cfg.only_occ:
+        out[f"{h}.query_embedding.weight"] = _np32(head["query_embedding"])
+        out[f"{h}.query_layout_embedding.weight"] = _np32(
+            head["query_layout_embedding"])
+        for l in range(cfg.decoder_layers):
+            _unseq_lnrelu(out, f"{h}.cls_branches.{l}",
+                          head[f"cls_branch_{l}"], cfg.num_reg_fcs)
+        if cfg.add_layout:
+            for l in range(cfg.decoder_layers):
+                _unseq_relu(out, f"{h}.layout_branches.{l}",
+                            head[f"layout_branch_{l}"], cfg.num_reg_fcs)
+
+    if not cfg.only_det:
+        _unlin(out, f"{h}.occ_proj", head["occ_proj"])
+        _unseq_lnrelu(out, f"{h}.occ_branches", head["occ_branches"],
+                      cfg.num_occ_fcs)
+        if cfg.refine_occ:
+            up = head["up_sample"]
+            for i in range(len(up)):
+                _unconv_t3d(out, f"{h}.up_sample.{i}", up[f"up{i}"])
+
+    tr = head["transformer"]
+    t = f"{h}.transformer"
+    out[f"{t}.cams_embeds"] = _np32(tr["cams_embeds"])
+    out[f"{t}.level_embeds"] = _np32(tr["level_embeds"])
+    for i in range(cfg.encoder_layers):
+        el = f"{t}.encoder.layers.{i}"
+        lt = tr["encoder"][f"layer_{i}"]
+        _undeform(out, f"{el}.attentions.0.deformable_attention",
+                  lt["cross_attn"]["deformable_attention"])
+        _unlin(out, f"{el}.attentions.0.output_proj",
+               lt["cross_attn"]["output_proj"])
+        _unln(out, f"{el}.norms.0", lt["norm1"])
+        _unlin(out, f"{el}.ffns.0.layers.0.0", lt["ffn"]["fc1"])
+        _unlin(out, f"{el}.ffns.0.layers.1", lt["ffn"]["fc2"])
+        _unln(out, f"{el}.norms.1", lt["norm2"])
+
+    if not cfg.only_occ:
+        _unlin(out, f"{t}.reference_points", tr["reference_points"])
+        for i in range(cfg.decoder_layers):
+            dl = f"{t}.decoder.layers.{i}"
+            lt = tr["decoder"][f"layer_{i}"]
+            _unmha(out, f"{dl}.attentions.0", lt["self_attn"])
+            _unln(out, f"{dl}.norms.0", lt["norm1"])
+            _undeform(out, f"{dl}.attentions.1", lt["cross_attn"])
+            _unln(out, f"{dl}.norms.1", lt["norm2"])
+            _unlin(out, f"{dl}.ffns.0.layers.0.0", lt["ffn"]["fc1"])
+            _unlin(out, f"{dl}.ffns.0.layers.1", lt["ffn"]["fc2"])
+            _unln(out, f"{dl}.norms.2", lt["norm3"])
+            _unseq_relu(out, f"{h}.reg_branches.{i}",
+                        tr[f"reg_branch_{i}"], cfg.num_reg_fcs)
+        if cfg.decoder_on_bev and cfg.voxel_2_bev_type == "mlp":
+            v2b = tr["voxel2bev"]
+            _unlin(out, f"{t}.voxel2bev.0", v2b["layers_0"])
+            _unln(out, f"{t}.voxel2bev.1", v2b["layers_1"])
+            _unlin(out, f"{t}.voxel2bev.3", v2b["layers_3"])
+            _unln(out, f"{t}.voxel2bev.4", v2b["layers_4"])
+
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference .pth checkpoint into a name->numpy dict.
 

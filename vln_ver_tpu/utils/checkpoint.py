@@ -17,14 +17,52 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_state(ckpt_dir: str, step: int, state) -> str:
-    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+def _to_host(state):
     # fully materialise on host to keep checkpoints mesh-agnostic
-    host_state = jax.tree.map(
+    return jax.tree.map(
         lambda x: jax.device_get(x) if hasattr(x, "addressable_data")
         or hasattr(x, "device") else x, state)
-    _checkpointer().save(path, host_state, force=True)
+
+
+def save_state(ckpt_dir: str, step: int, state) -> str:
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    _checkpointer().save(path, _to_host(state), force=True)
     return path
+
+
+class AsyncSaver:
+    """Non-blocking checkpoint writes (orbax ``AsyncCheckpointer``).
+
+    The device→host snapshot still happens at ``save()`` time (the next
+    train step mutates/donates the state buffers), but serialization and
+    disk I/O overlap with subsequent steps instead of stalling the loop —
+    at 208.8M fp32 params + AdamW moments a blocking save writes ~2.5 GB.
+    The reference's mmcv ``CheckpointHook`` blocks training for the full
+    write (apis/mmdet_train.py checkpoint_config cadence, vocc.py:293).
+
+    ``wait()`` (or context-manager exit) must run before the process
+    exits or a restore of the in-flight step is attempted.
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+    def save(self, ckpt_dir: str, step: int, state) -> str:
+        path = os.path.join(os.path.abspath(ckpt_dir),
+                            f"step_{step:08d}")
+        self._ckptr.save(path, _to_host(state), force=True)
+        return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.wait()
+        return False
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:
