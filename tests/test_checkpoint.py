@@ -63,6 +63,20 @@ def test_async_checkpoint_matches_sync(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_latest_step_skips_orbax_tmp_dirs(tmp_path):
+    """An in-flight (or crash-orphaned) orbax tmp dir next to completed
+    checkpoints — routine while an AsyncSaver write overlaps training —
+    must be skipped, not crash resume/export with a ValueError."""
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    (d / "step_00000041").mkdir()
+    (d / "step_00000042.orbax-checkpoint-tmp-1234").mkdir()
+    (d / "step_42.orbax-checkpoint-tmp").mkdir()
+    assert latest_step(str(d)) == 41
+    (d / "step_00000042").mkdir()
+    assert latest_step(str(d)) == 42
+
+
 def test_bf16_train_step_finite():
     cfg = dataclasses.replace(TINY, dtype=jnp.bfloat16)
     _, state, batch, tc = _init(cfg)

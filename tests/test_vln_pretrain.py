@@ -191,3 +191,41 @@ def test_pretrain_losses_drop_and_init_beats_scratch(tmp_path):
     # the VERDICT r2 done-criterion: pretrained init beats scratch on
     # synthetic SR at fixed finetune steps
     assert sr_pre > sr_scratch, (sr_pre, sr_scratch)
+
+
+def test_cli_setup_shared_handoff_contract(tmp_path):
+    """The pretrain and finetune CLIs build their config/env from ONE
+    shared plumbing (agent/cli_setup.build_vln_setup); the policy
+    subtree extracted from a pretrain init must match the finetune
+    policy-init tree structure and shapes exactly — the property
+    --init-from-pretrain's orbax restore depends on."""
+    from types import SimpleNamespace
+
+    from vln_ver_tpu.agent.cli_setup import build_vln_setup
+
+    args = SimpleNamespace(synthetic=True, work_dir=str(tmp_path),
+                           embed_dims=32, objects=None, data_dir=None,
+                           connectivity=None, ver=None, benchmark="R2R",
+                           bert_vocab=None)
+    a = build_vln_setup(args)
+    b = build_vln_setup(args)   # both CLIs call the same function
+    assert a.cfg == b.cfg
+
+    env = R2REnv(a.episodes, a.graphs, a.ver, max_nodes=a.cfg.max_nodes)
+    pre = init_pretrain_params(VLNPretrainModel(a.cfg), env, seed=0)
+    policy_tree = extract_policy_params(pre)
+
+    obs = env.observe(env.reset(0))
+    mem0 = init_memory(1, a.cfg.max_nodes, a.cfg.embed_dims)
+    fine = VLNPolicy(a.cfg).init(
+        jax.random.PRNGKey(1), jnp.asarray(obs["instruction"])[None],
+        jnp.asarray(obs["instruction"])[None] > 0,
+        jnp.asarray(obs["volume"])[None], mem0,
+        jnp.asarray(obs["cur_pos"])[None],
+        jnp.asarray(obs["cur_slot"])[None])
+    ts_a = jax.tree.structure(policy_tree)
+    ts_b = jax.tree.structure(fine)
+    assert ts_a == ts_b, (ts_a, ts_b)
+    for pa, pb in zip(jax.tree.leaves(policy_tree),
+                      jax.tree.leaves(fine)):
+        assert pa.shape == pb.shape and pa.dtype == pb.dtype

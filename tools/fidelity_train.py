@@ -70,7 +70,6 @@ def main():
     print(f"[{time.time()-t0:.0f}s] oracle built + converted "
           f"({len(sd0)} keys, {len(skipped)} skipped)")
 
-    rng = np.random.default_rng(0)
     mg = args.max_gt
 
     def make_batch(seed):

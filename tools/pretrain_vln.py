@@ -47,6 +47,14 @@ def parse_args():
                    help="[MASK] token id (1 = <unk> for the plain vocab; "
                         "pass the vocab's [MASK] id with --bert-vocab)")
     p.add_argument("--bert-vocab", default=None)
+    p.add_argument("--text-init", default=None,
+                   help="msgpack from tools/convert_text_encoder.py; "
+                        "pretraining starts from BERT text weights "
+                        "(DUET's recipe); pass the same flag to "
+                        "train_vln.py --init-from-pretrain")
+    p.add_argument("--crossmodal-init", default=None,
+                   help="msgpack from tools/convert_crossmodal.py; "
+                        "pretraining starts from LXMERT/DUET x-layers")
     p.add_argument("--embed-dims", type=int, default=None)
     p.add_argument("--work-dir", default="work_dirs/vln_pre")
     p.add_argument("--log-interval", type=int, default=20)
@@ -61,8 +69,9 @@ def main():
     import jax
     import optax
 
-    from vln_ver_tpu.agent import PolicyConfig
-    from vln_ver_tpu.agent.env import R2REnv, make_synthetic_vln
+    from vln_ver_tpu.agent.cli_setup import (build_vln_setup,
+                                             graft_pretrained)
+    from vln_ver_tpu.agent.env import R2REnv
     from vln_ver_tpu.agent.pretrain import (VLNPretrainModel,
                                             collect_teacher_trace,
                                             init_pretrain_params,
@@ -71,50 +80,21 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
 
-    if args.synthetic:
-        dims = args.embed_dims or 64
-        cfg = PolicyConfig(embed_dims=dims, num_heads=4, fusion_layers=2,
-                           text_layers=2, ffn_dim=2 * dims, vocab_size=128,
-                           max_text_len=16, max_nodes=16, bev_z=2,
-                           bev_h=4, bev_w=4, num_query_tokens=4)
-        bev_num = cfg.bev_z * cfg.bev_h * cfg.bev_w
-        objects = None
-        made = make_synthetic_vln(
-            os.path.join(args.work_dir, "synvln"), num_scans=2,
-            nodes_per_scan=9, num_episodes=16, bev_num=bev_num,
-            embed_dims=dims, max_text_len=cfg.max_text_len,
-            with_objects=args.objects == "synthetic")
-        if args.objects == "synthetic":
-            episodes, graphs, ver, objects = made
-        else:
-            episodes, graphs, ver = made
-        mask_id = args.mask_id
-    else:
-        from vln_ver_tpu.agent.data import (WordPieceVocab, load_graphs,
-                                            load_r2r_split,
-                                            load_ver_features)
-        dims = args.embed_dims or 768
-        vocab0 = (WordPieceVocab(args.bert_vocab)
-                  if args.bert_vocab else None)
-        episodes, vocab = load_r2r_split(args.data_dir, "train", vocab0,
-                                         80, prefix=args.benchmark)
-        cfg = PolicyConfig(embed_dims=dims, vocab_size=len(vocab))
-        graphs = load_graphs(args.connectivity,
-                             [e["scan"] for e in episodes])
-        ver = load_ver_features(args.ver)
-        mask_id = (vocab.stoi.get("[MASK]", args.mask_id)
-                   if args.bert_vocab else args.mask_id)
-        objects = None
-        if args.objects and args.objects != "synthetic":
-            import pickle
-            with open(args.objects, "rb") as f:
-                objects = pickle.load(f)
+    setup = build_vln_setup(args)
+    cfg, episodes, objects = setup.cfg, setup.episodes, setup.objects
+    mask_id = setup.mask_id
 
-    env = R2REnv(episodes, graphs, ver, max_nodes=cfg.max_nodes,
-                 objects=objects)
+    env = R2REnv(episodes, setup.graphs, setup.ver,
+                 max_nodes=cfg.max_nodes, objects=objects)
     model = VLNPretrainModel(cfg)
     params = init_pretrain_params(model, env, args.seed,
                                   objects=objects is not None)
+    if setup.text_params is not None or setup.xmodal is not None:
+        import flax.core
+        params = flax.core.unfreeze(params)
+        params["params"]["policy"] = graft_pretrained(
+            params["params"]["policy"], cfg, setup.text_params,
+            setup.xmodal)
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"pretrain params: {n/1e6:.2f}M, episodes: {len(episodes)}, "
           f"mask_id: {mask_id}")

@@ -39,11 +39,47 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+class _ClaimKeepAlive:
+    """Re-touch claimed request files from a daemon thread while the
+    (possibly minutes-long, unbounded first-compile) forward runs, so
+    other servers' orphan sweeps never mistake this live server's batch
+    for a dead one's.  ``stop()`` is idempotent and joins the thread."""
+
+    def __init__(self, paths, interval_s: float = 60.0):
+        self._paths = list(paths)
+        self._interval = interval_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.wait(self._interval):
+            for p in self._paths:
+                try:
+                    os.utime(p)
+                except OSError:
+                    pass  # already reclaimed/served; nothing to protect
+
+    def start(self):
+        # touch once immediately: the stale clock starts at claim time,
+        # not at the client's write time
+        for p in self._paths:
+            try:
+                os.utime(p)
+            except OSError:
+                pass
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
 
 
 def parse_args():
@@ -93,10 +129,11 @@ def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 1800.0):
     this host, or when its requests have sat longer than ``max_age_s``
     (covers servers on other hosts of a shared filesystem).
 
-    ``max_age_s`` must exceed a cold server's worst-case first-compile
-    (5-10+ min through the tunnel, CLAUDE.md) or an alive-but-compiling
-    server's batch gets stolen and served twice; servers additionally
-    re-touch their claimed files' mtimes while working (see serve())."""
+    Working servers re-touch their claimed files' mtimes every 60 s from
+    a daemon thread (``_ClaimKeepAlive`` in serve()), so an
+    alive-but-compiling server never looks stale no matter how long the
+    first compile takes; ``max_age_s`` only needs to exceed the keepalive
+    interval by a wide margin, not bound compile time."""
     for name in os.listdir(queue):
         if not name.startswith(".claimed."):
             continue
@@ -238,28 +275,29 @@ def serve(args) -> int:
         if not ok:
             continue
 
-        # freshen claim mtimes AFTER validation, before the (possibly
-        # minutes-long first-compile) forward: the stale-sweep clock on
-        # other servers must start at claim time, not at the client's
-        # write time.  Touching at claim time instead would make every
-        # malformed request look like a fresh half-write (the error path
-        # checks the client's mtime) and bounce it forever.
-        for p in ok:
-            try:
-                os.utime(p)
-            except OSError:
-                pass
-
-        n = len(ok)
-        while len(batch_f) < B:  # pad to the compiled batch
-            batch_f.append(batch_f[-1])
-            batch_w.append(batch_w[-1])
-            batch_s.append(batch_s[-1])
-        vol, occ = forward(params, jnp.asarray(np.stack(batch_f)),
-                           jnp.asarray(np.stack(batch_w)),
-                           jnp.asarray(np.stack(batch_s)))
-        vol = np.asarray(vol[:n])
-        occ = np.asarray(occ[:n]) if occ is not None else None
+        # Freshen claim mtimes AFTER validation (touching at claim time
+        # would make every malformed request look like a fresh half-write
+        # — the error path checks the client's mtime — and bounce it
+        # forever), then KEEP re-touching from a daemon thread while the
+        # forward runs: a first compile through the tunnel is unbounded
+        # above (5-10+ min observed), so a one-shot touch cannot bound
+        # the stale-sweep window on other servers — the keepalive makes
+        # "stale" mean "owner stopped touching", i.e. actually dead.
+        keepalive = _ClaimKeepAlive(ok, interval_s=60.0)
+        keepalive.start()
+        try:
+            n = len(ok)
+            while len(batch_f) < B:  # pad to the compiled batch
+                batch_f.append(batch_f[-1])
+                batch_w.append(batch_w[-1])
+                batch_s.append(batch_s[-1])
+            vol, occ = forward(params, jnp.asarray(np.stack(batch_f)),
+                               jnp.asarray(np.stack(batch_w)),
+                               jnp.asarray(np.stack(batch_s)))
+            vol = np.asarray(vol[:n])
+            occ = np.asarray(occ[:n]) if occ is not None else None
+        finally:
+            keepalive.stop()
         for i, path in enumerate(ok):
             rid = os.path.basename(path)[:-4]
             out = {"volume": vol[i]}

@@ -79,28 +79,9 @@ def parse_args():
 
 
 def load_text_init(path):
-    """Read the converted BERT blob -> (PolicyConfig overrides, params).
-
-    The position table is truncated to the chosen max_text_len so the
-    grafted tree matches the module's declared param shape (flax validates
-    stored params against init shapes; a 512-row BERT table would
-    otherwise fail at apply)."""
-    import numpy as _np
-
-    import flax.serialization
-    with open(path, "rb") as f:
-        blob = flax.serialization.msgpack_restore(f.read())
-    meta = {k: int(v) for k, v in blob["meta"].items()}
-    max_text_len = min(meta["max_len"], 80)
-    overrides = dict(
-        text_arch="bert", vocab_size=meta["vocab_size"],
-        text_layers=meta["num_layers"], text_ffn_dim=meta["ffn_dim"],
-        embed_dims=meta["hidden"],
-        max_text_len=max_text_len)
-    params = dict(blob["params"])
-    params["pos_embed"] = _np.ascontiguousarray(
-        params["pos_embed"][:max_text_len])
-    return overrides, params
+    """Shared with tools/pretrain_vln.py — see agent/cli_setup.py."""
+    from vln_ver_tpu.agent.cli_setup import load_text_init as _impl
+    return _impl(path)
 
 
 def main():
@@ -111,8 +92,9 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from vln_ver_tpu.agent import PolicyConfig, VLNPolicy, init_memory
-    from vln_ver_tpu.agent.env import R2REnv, make_synthetic_vln
+    from vln_ver_tpu.agent import VLNPolicy, init_memory
+    from vln_ver_tpu.agent.env import R2REnv
+    from vln_ver_tpu.agent.pretrain import stack_records
     from vln_ver_tpu.agent.rollout import (evaluate, imitation_step_loss,
                                            run_episode,
                                            run_episodes_batched)
@@ -120,81 +102,12 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
 
-    # load pretrained-text overrides FIRST: the tokenized instruction
-    # length must match the (possibly truncated) position table
-    text_overrides, text_params = (None, None)
-    if args.text_init:
-        text_overrides, text_params = load_text_init(args.text_init)
-    text_len = (text_overrides["max_text_len"] if text_overrides else 80)
+    from vln_ver_tpu.agent.cli_setup import build_vln_setup, graft_pretrained
+    setup = build_vln_setup(args)
+    cfg, episodes, objects = setup.cfg, setup.episodes, setup.objects
 
-    xmodal = None
-    if args.crossmodal_init:
-        import flax.serialization
-        with open(args.crossmodal_init, "rb") as f:
-            xmodal = flax.serialization.msgpack_restore(f.read())
-
-    if args.synthetic:
-        dims = args.embed_dims or 64
-        cfg = PolicyConfig(embed_dims=dims, num_heads=4, fusion_layers=2,
-                           text_layers=2, ffn_dim=2 * dims, vocab_size=128,
-                           max_text_len=16, max_nodes=16, bev_z=2,
-                           bev_h=4, bev_w=4, num_query_tokens=4)
-        bev_num = cfg.bev_z * cfg.bev_h * cfg.bev_w
-        objects = None
-        made = make_synthetic_vln(
-            os.path.join(args.work_dir, "synvln"), num_scans=2,
-            nodes_per_scan=9, num_episodes=16, bev_num=bev_num,
-            embed_dims=dims, max_text_len=cfg.max_text_len,
-            with_objects=args.objects == "synthetic")
-        if args.objects == "synthetic":
-            episodes, graphs, ver, objects = made
-        else:
-            episodes, graphs, ver = made
-    else:
-        from vln_ver_tpu.agent.data import (WordPieceVocab, load_graphs,
-                                            load_r2r_split,
-                                            load_ver_features)
-        dims = args.embed_dims or 768
-        vocab0 = (WordPieceVocab(args.bert_vocab)
-                  if args.bert_vocab else None)
-        episodes, vocab = load_r2r_split(args.data_dir, "train", vocab0,
-                                         text_len, prefix=args.benchmark)
-        cfg = PolicyConfig(embed_dims=dims, vocab_size=len(vocab))
-        graphs = load_graphs(args.connectivity,
-                             [e["scan"] for e in episodes])
-        ver = load_ver_features(args.ver)
-        objects = None
-        if args.objects and args.objects != "synthetic":
-            import pickle
-            with open(args.objects, "rb") as f:
-                objects = pickle.load(f)
-
-    if text_overrides:
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, **text_overrides)
-        print(f"text-init: BERT arch, "
-              f"{text_overrides['text_layers']} layers, "
-              f"hidden {text_overrides['embed_dims']}, "
-              f"vocab {text_overrides['vocab_size']}, "
-              f"max_text_len {text_overrides['max_text_len']}")
-    if xmodal is not None:
-        import dataclasses as _dc
-        meta = {k: int(v) for k, v in xmodal["meta"].items()}
-        if meta["hidden"] != cfg.embed_dims:
-            raise SystemExit(
-                f"--crossmodal-init hidden {meta['hidden']} != policy "
-                f"embed_dims {cfg.embed_dims} (pair it with a matching "
-                "--text-init)")
-        cfg = _dc.replace(cfg, fusion_arch="bert",
-                          fusion_layers=meta["num_layers"],
-                          num_heads=meta["num_heads"],
-                          ffn_dim=meta["ffn_dim"])
-        print(f"crossmodal-init: LXMERT/DUET x-layers, "
-              f"{meta['num_layers']} layers, ffn {meta['ffn_dim']}, "
-              f"{meta['num_heads']} heads")
-
-    env = R2REnv(episodes, graphs, ver, max_nodes=cfg.max_nodes,
-                 objects=objects)
+    env = R2REnv(episodes, setup.graphs, setup.ver,
+                 max_nodes=cfg.max_nodes, objects=objects)
     policy = VLNPolicy(cfg)
 
     obs = env.observe(env.reset(0))
@@ -211,20 +124,18 @@ def main():
         jnp.asarray(obs["volume"])[None], mem0,
         jnp.asarray(obs["cur_pos"])[None],
         jnp.asarray(obs["cur_slot"])[None], **init_obj_kw)
-    if args.text_init:
-        import flax.core
-        params = flax.core.unfreeze(params)
-        params["params"]["text_encoder"] = jax.tree.map(jnp.asarray,
-                                                        text_params)
-    if xmodal is not None:
-        import flax.core
-        params = flax.core.unfreeze(params)
-        for i in range(cfg.fusion_layers):
-            params["params"][f"local_block_{i}"] = jax.tree.map(
-                jnp.asarray, xmodal["local"][f"block_{i}"])
-            params["params"][f"global_block_{i}"] = jax.tree.map(
-                jnp.asarray, xmodal["global"][f"block_{i}"])
     if args.init_from_pretrain:
+        # precedence: the pretrained checkpoint supersedes the raw
+        # --text-init/--crossmodal-init param grafts (pretraining already
+        # started from them and trained them further; see
+        # tools/pretrain_vln.py, which takes the same flags).  The flags
+        # still matter here: they set the architecture the restore
+        # template must match.
+        if args.text_init or args.crossmodal_init:
+            print("note: --init-from-pretrain supersedes the --text-init/"
+                  "--crossmodal-init param grafts; the flags only pin the "
+                  "matching architecture (pass the same ones used for "
+                  "pretrain_vln.py)")
         from vln_ver_tpu.agent.pretrain import extract_policy_params
         from vln_ver_tpu.utils.checkpoint import (latest_step,
                                                   restore_state)
@@ -242,6 +153,11 @@ def main():
         pre = restore_state(pdir, pstep, template)
         params = jax.tree.map(jnp.asarray, extract_policy_params(pre))
         print(f"init-from-pretrain: {pdir} step {pstep}")
+    elif setup.text_params is not None or setup.xmodal is not None:
+        import flax.core
+        params = flax.core.unfreeze(params)
+        params["params"] = graft_pretrained(
+            params["params"], cfg, setup.text_params, setup.xmodal)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"policy params: {n_params/1e6:.2f}M, episodes: {len(episodes)}")
 
@@ -257,32 +173,10 @@ def main():
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss, aux
 
-    def stack_records(recs):
-        """Stack buffered decision steps into one update batch: one jitted
-        update per ``update_batch`` steps instead of per step (the jit
-        sees a single static batch shape)."""
-        obs0 = recs[0]["obs"]
-        batch = dict(
-            instruction=jnp.stack(
-                [jnp.asarray(r["obs"]["instruction"]) for r in recs]),
-            volume=jnp.stack(
-                [jnp.asarray(r["obs"]["volume"]) for r in recs]),
-            memory=jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0),
-                *[r["memory"] for r in recs]),
-            cur_pos=jnp.stack(
-                [jnp.asarray(r["obs"]["cur_pos"]) for r in recs]),
-            cur_slot=jnp.asarray(
-                [r["obs"]["cur_slot"] for r in recs], jnp.int32),
-            teacher=jnp.asarray([r["teacher"] for r in recs], jnp.int32))
-        if "obj_feats" in obs0:
-            batch["obj_feats"] = jnp.stack(
-                [jnp.asarray(r["obs"]["obj_feats"]) for r in recs])
-            batch["obj_valid"] = jnp.stack(
-                [jnp.asarray(r["obs"]["obj_valid"]) for r in recs])
-            batch["gt_obj"] = jnp.asarray(
-                [r["obs"]["gt_obj"] for r in recs], jnp.int32)
-        return batch
+    # stack_records (imported from agent.pretrain — the ONE copy of the
+    # imitation/pretrain batch contract) turns buffered decision steps
+    # into one update batch: one jitted update per ``update_batch`` steps
+    # instead of per step (the jit sees a single static batch shape).
 
     logf = open(os.path.join(args.work_dir, "vln_log.jsonl"), "a")
     t0 = time.perf_counter()

@@ -151,6 +151,13 @@ def build_ver_config(cfg: Config, **overrides) -> VERConfig:
         refine_occ=head.get("refine_occ", VERConfig.refine_occ),
         with_box_refine=head.get("with_box_refine", True),
         occ_loss_type=head.get("occ_loss_type", VERConfig.occ_loss_type),
+        # reference-style file configs follow the ce convention by
+        # contract (occupancy_classes INCLUDES empty in ce mode,
+        # head:1527-1533) — affirm it so VERConfig's trap guard only
+        # fires on hand-built configs, where the mistake actually lives
+        occ_ce_includes_empty=head.get(
+            "occ_ce_includes_empty",
+            head.get("occ_loss_type") == "ce_loss"),
         occ_layout=head.get("occ_layout", VERConfig.occ_layout),
         num_layout_query=head.get("num_layout_query",
                                   VERConfig.num_layout_query),

@@ -115,15 +115,29 @@ class VERConfig:
         # occupancy_classes=16 is the focal-mode REAL-class count for
         # MP3D — combining the two silently aliases real class 15 with
         # empty.
-        if (self.occ_loss_type == "ce_loss"
-                and self.occupancy_classes == 16
-                and not self.occ_ce_includes_empty):
-            raise ValueError(
-                "occ_loss_type='ce_loss' with occupancy_classes=16: ce "
-                "mode needs occupancy_classes to include the empty class "
-                "as its last channel (MP3D: 17 = 16 semantic + empty). "
-                "If 16 really is your including-empty count, set "
-                "occ_ce_includes_empty=True.")
+        if self.occ_loss_type == "ce_loss" and not self.occ_ce_includes_empty:
+            if self.occupancy_classes == 16:
+                # 16 is the focal-mode MP3D REAL-class default: combining
+                # it with ce_loss is near-certainly the aliasing trap
+                raise ValueError(
+                    "occ_loss_type='ce_loss' with occupancy_classes=16: "
+                    "ce mode needs occupancy_classes to include the empty "
+                    "class as its last channel (MP3D: 17 = 16 semantic + "
+                    "empty). If 16 really is your including-empty count, "
+                    "set occ_ce_includes_empty=True.")
+            # any other count: the convention can't be verified from the
+            # number alone — surface it instead of trusting silently
+            # (reference-style ce configs already follow it, see
+            # occupancy.py::occupancy_num_classes)
+            import warnings
+            warnings.warn(
+                f"occ_loss_type='ce_loss' with occupancy_classes="
+                f"{self.occupancy_classes}: ce mode treats the LAST "
+                "channel as the empty class — make sure this count "
+                "INCLUDES empty (real classes + 1), or real class "
+                f"{self.occupancy_classes - 1} silently aliases empty. "
+                "Set occ_ce_includes_empty=True to affirm and silence "
+                "this warning.", stacklevel=2)
 
     @property
     def use_pallas(self) -> bool:

@@ -7,6 +7,7 @@ Replaces the reference's mmcv CheckpointHook/resume machinery
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 import jax
@@ -65,11 +66,20 @@ class AsyncSaver:
         return False
 
 
+_STEP_RE = re.compile(r"^step_(\d+)$")
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
+    """Largest COMPLETED step in ``ckpt_dir``.
+
+    Only exact ``step_NNNNNNNN`` names count: orbax writes in-flight (or
+    crash-orphaned) checkpoints under ``step_*.orbax-checkpoint-tmp-*``
+    sibling dirs — routine while an :class:`AsyncSaver` write overlaps
+    training — and those must be skipped, not crash resume/export."""
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
-             if d.startswith("step_")]
+    steps = [int(m.group(1)) for d in os.listdir(ckpt_dir)
+             if (m := _STEP_RE.match(d))]
     return max(steps) if steps else None
 
 
