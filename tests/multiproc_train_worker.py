@@ -88,17 +88,43 @@ def run_steps(mesh, cfg, model, params, batches):
     from vln_ver_tpu.train import (TrainConfig, create_train_state,
                                    make_train_step)
 
+    from jax.sharding import NamedSharding, PartitionSpec
+
     tc = TrainConfig(warmup_steps=1, total_steps=10)
     state = jax.device_get(create_train_state(model, params, tc))
     state = replicate(mesh, state)
-    step = make_train_step(cfg, tc, donate=False)
+    # pin outputs replicated: keeps the step's signature identical across
+    # calls so ONE AOT executable serves every step (see make_train_step)
+    step = make_train_step(cfg, tc, donate=False,
+                           out_sharding=NamedSharding(mesh,
+                                                      PartitionSpec()))
     losses = []
     with mesh:
+        # AOT-compile BEFORE the first execution, then rendezvous on the
+        # coordination-service barrier (minutes-long timeout).  Gloo's
+        # context init only allows ~30 s of skew between processes at
+        # the first collective; on a 1-core host the two processes'
+        # compiles serialize (minutes each when the AOT cache was built
+        # on a different machine type), so executing straight out of
+        # jit would strand process 0 in the Gloo rendezvous while
+        # process 1 is still compiling.
+        compiled = step.lower(state, shard_batch(mesh, batches[0]),
+                              jax.random.PRNGKey(100)).compile()
+        _sync_processes("train_step_compiled")
         for i, b in enumerate(batches):
-            state, metrics = step(state, shard_batch(mesh, b),
-                                  jax.random.PRNGKey(100 + i))
+            state, metrics = compiled(state, shard_batch(mesh, b),
+                                      jax.random.PRNGKey(100 + i))
             losses.append(float(metrics["loss"]))
     return losses, jax.device_get(state.params)
+
+
+def _sync_processes(name: str, timeout_ms: int = 1_200_000):
+    """Coordination-service barrier (NOT a device collective — those are
+    what we are trying to protect from rendezvous-window skew)."""
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
 
 
 def main():
@@ -124,21 +150,12 @@ def main():
     losses, final = run_steps(mesh, cfg, model, params, batches)
 
     if jax.process_index() == 0:
-        flat = {"/".join(p): np.asarray(v) for p, v in
-                _flatten(final["params"])}
-        np.savez(out_json + ".npz", **flat)
+        from vln_ver_tpu.utils.params import flatten_params
+        np.savez(out_json + ".npz", **flatten_params(final["params"]))
         with open(out_json, "w") as f:
             json.dump({"losses": losses}, f)
     # all processes exit cleanly so the coordinator shuts down
     jax.effects_barrier()
-
-
-def _flatten(tree, prefix=()):
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            yield from _flatten(v, prefix + (k,))
-        else:
-            yield prefix + (k,), v
 
 
 if __name__ == "__main__":

@@ -37,6 +37,31 @@ def test_ssc_metrics_visible_mask():
     assert s["precision"] == 1.0  # masked-out wrong voxel ignored
 
 
+def test_confusion_hist_device_matches_host():
+    """The on-device scatter histogram must reproduce SSCMetrics'
+    accumulation EXACTLY (counts are integers) — with and without a
+    visibility mask."""
+    from vln_ver_tpu.evaluation.ssc_metrics import confusion_hist_device
+    import jax
+
+    rng = np.random.default_rng(0)
+    n = 17
+    pred = rng.integers(0, n, (3, 5000)).astype(np.int32)
+    gt = rng.integers(0, n, (3, 5000)).astype(np.int32)
+    vis = rng.integers(0, 2, (3, 5000)).astype(np.int32)
+
+    for weight in (np.ones_like(vis), vis):
+        host = SSCMetrics(n)
+        for i in range(3):
+            host.add_batch(pred[i], gt[i],
+                           visible_mask=None if weight is not vis
+                           else vis[i])
+        dev = np.asarray(jax.jit(
+            confusion_hist_device, static_argnums=3)(
+                pred, gt, weight, n))
+        np.testing.assert_array_equal(dev.astype(np.float64), host.hist)
+
+
 def test_box3d_iou_identical_and_disjoint():
     b = np.array([0, 0, 0, 2, 2, 2, 0.3])
     assert abs(box3d_iou(b, b) - 1.0) < 1e-6

@@ -81,15 +81,10 @@ def test_two_process_training_matches_single_process(tmp_path):
     # sign-flip element bound + relative-L2 agreement of the drift.
     dist = np.load(out_json + ".npz")
 
-    def flatten(tree, prefix=()):
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                yield from flatten(v, prefix + (k,))
-            else:
-                yield "/".join(prefix + (k,)), np.asarray(v, np.float64)
+    from vln_ver_tpu.utils.params import flatten_params
 
-    ref_flat = dict(flatten(ref_params["params"]))
-    init_flat = dict(flatten(params["params"]))
+    ref_flat = flatten_params(ref_params["params"])
+    init_flat = flatten_params(params["params"])
     assert set(dist.files) == set(ref_flat)
     lr = 1e-4
     num2 = den2 = 0.0

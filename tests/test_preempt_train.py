@@ -1,0 +1,69 @@
+"""Preemption safety of tools/train.py: SIGTERM mid-run must finish the
+in-flight step, write a synchronous checkpoint, and exit 0 so that
+``--resume`` continues — the behavior a preempted TPU pod / GKE node
+needs (the reference's torch.distributed.launch job just dies between
+epoch checkpoints, vocc.py:293).
+"""
+
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY_CFG = os.path.join(REPO, "configs", "verformer", "vocc_tiny.py")
+
+
+def _env():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+    return env
+
+
+def test_sigterm_checkpoints_and_resume(tmp_path):
+    wd = str(tmp_path / "wd")
+    # long-enough run that SIGTERM arrives mid-training; ckpt-interval
+    # beyond max-steps so any checkpoint present comes from the handler
+    p = subprocess.Popen(
+        [sys.executable, f"{REPO}/tools/train.py", TINY_CFG,
+         "--synthetic", "--max-steps", "500", "--batch-size", "2",
+         "--work-dir", wd, "--log-interval", "1",
+         "--ckpt-interval", "10000"],
+        cwd=str(tmp_path), env=_env(), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    # wait for training to actually step (first line after compile)
+    deadline = time.time() + 480
+    seen = []
+    stepped = False
+    for line in p.stdout:
+        seen.append(line)
+        if re.search(r"^step \d+:", line):
+            stepped = True
+            break
+        assert time.time() < deadline, "".join(seen)[-3000:]
+    assert stepped, "train exited before stepping:\n" + \
+        "".join(seen)[-3000:]
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=240)
+    seen.append(out)
+    assert p.returncode == 0, "".join(seen)[-3000:]
+    assert "saving checkpoint" in out, out[-3000:]
+
+    from vln_ver_tpu.utils.checkpoint import latest_step
+    step = latest_step(os.path.join(wd, "ckpt"))
+    assert step is not None and step >= 1
+
+    # resume continues from the preemption checkpoint and finishes
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/tools/train.py", TINY_CFG,
+         "--synthetic", "--max-steps", str(step + 2), "--batch-size",
+         "2", "--work-dir", wd, "--log-interval", "1",
+         "--ckpt-interval", "10000", "--resume"],
+        cwd=str(tmp_path), env=_env(), capture_output=True, text=True,
+        timeout=540)
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert f"resumed from step {step}" in r.stdout, r.stdout[-3000:]
+    assert "done" in r.stdout

@@ -62,6 +62,26 @@ def test_evaluate_model_mesh_matches_plain(tmp_path):
                                    atol=1e-6, err_msg=k)
 
 
+def test_evaluate_model_device_hist_matches_host(tmp_path):
+    """The default on-device occupancy histogram path must produce
+    IDENTICAL metrics to the per-sample host decode (the oracle path) —
+    including multi-threshold @thr-suffixed keys."""
+    cfg = TINY
+    ds = _dataset(tmp_path, cfg)
+    model = VoxelFormer(cfg)
+    s = ds[0]
+    params = model.init(jax.random.PRNGKey(0), s["features"][None],
+                        s["world2pixel"][None], s["origin_shift"][None])
+    kw = dict(limit=2, batch_size=2, occ_thresholds=(0.25, 0.5))
+    dev = evaluate_model(model, params, ds, device_hist=True, **kw)
+    host = evaluate_model(model, params, ds, device_hist=False, **kw)
+    assert set(dev) == set(host)
+    assert any("@" in k for k in dev)   # suffixed keys exercised
+    for k in host:
+        np.testing.assert_allclose(dev[k], host[k], rtol=0, atol=0,
+                                   err_msg=k)
+
+
 def test_evaluate_model_respects_visible_mask(tmp_path):
     cfg = TINY
     ds = _dataset(tmp_path, cfg)

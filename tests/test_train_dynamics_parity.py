@@ -54,12 +54,13 @@ N_STEPS = 8
 # reduce_mean) is covered by objective.py's docstring + mesh parity tests.
 BS = 1
 
-# params with no gradient path in this config (inert positional encoding,
-# layout query embedding with add_layout off): torch.optim skips
-# grad-None params entirely (no weight decay) while optax decays
-# zero-grad params — excluded from the drift comparison, with the
-# jax-side decay drift asserted tiny separately.
-_NOGRAD_KEYS = ("positional_encoding", "query_layout_embedding")
+# One owner for the gradient-free key lists + flatten: the full-size
+# fidelity tool (tools/fidelity_train.py) and this CI test must agree on
+# which params are excluded, or they can disagree on pass/fail for the
+# same recipe.  Rationale for each entry lives in utils/params.py.
+from vln_ver_tpu.utils.params import (NOGRAD_PARAM_KEYS as _NOGRAD_KEYS,
+                                      ZEROGRAD_NOISE_KEYS,
+                                      flatten_params as _flatten)
 
 
 def _make_batch(seed: int):
@@ -103,17 +104,6 @@ def _to_torch(batch):
         gt_valid=torch.from_numpy(batch["gt_valid"]),
         occ_dense=torch.from_numpy(batch["occ_dense"]).long(),
     )
-
-
-def _flatten(tree, prefix=""):
-    out = {}
-    for k, v in tree.items():
-        key = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
-            out.update(_flatten(v, key))
-        else:
-            out[key] = np.asarray(v, np.float64)
-    return out
 
 
 @pytest.fixture(scope="module")
@@ -188,7 +178,7 @@ def test_parameter_drift_matches(trajectories):
         err = float(np.max(np.abs(dj - dt)))
         # sign-flip bound: elements move at most ~N_STEPS updates apart
         assert err < N_STEPS * lr, (k, err)
-        if "self_attn/attn/key/bias" in k:
+        if any(s in k for s in ZEROGRAD_NOISE_KEYS):
             # structurally zero gradient (key bias cancels in softmax):
             # pure noise drift on both sides, already bounded above
             continue

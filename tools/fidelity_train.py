@@ -138,35 +138,12 @@ def main():
            for k, v in oracle.state_dict().items()}
     paramsN, _ = convert_state_dict(sdN, cfg)
 
-    def flatten(tree, prefix=""):
-        out = {}
-        for k, v in tree.items():
-            kk = f"{prefix}/{k}" if prefix else k
-            if isinstance(v, dict):
-                out.update(flatten(v, kk))
-            else:
-                out[kk] = np.asarray(v, np.float64)
-        return out
+    from vln_ver_tpu.utils.params import drift_rel_l2, flatten_params
 
-    init = flatten(params0)
-    fj = flatten(final_j)
-    ft = flatten(paramsN)
-    num2 = den2 = 0.0
-    worst = (0.0, None)
-    nograd = ("positional_encoding", "query_layout_embedding",
-              "self_attn/attn/key/bias")
-    for k in init:
-        if any(s in k for s in nograd):
-            continue
-        dj = fj[k] - init[k]
-        dt = ft[k] - init[k]
-        num = float(np.linalg.norm(dj - dt))
-        den = float(np.linalg.norm(dt)) + 1e-30
-        num2 += num ** 2
-        den2 += den ** 2
-        if num / den > worst[0]:
-            worst = (num / den, k)
-    global_rel = (num2 ** 0.5) / (den2 ** 0.5)
+    init = flatten_params(params0)
+    fj = flatten_params(final_j)
+    ft = flatten_params(paramsN)
+    global_rel, worst = drift_rel_l2(init, fj, ft)
 
     print("per-step loss:")
     for i, (lj, lt) in enumerate(zip(losses_j, losses_t)):

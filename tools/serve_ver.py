@@ -123,7 +123,7 @@ def _claim(inbox: str, claimed_dir: str, limit: int):
     return got
 
 
-def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 1800.0):
+def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 300.0):
     """Return requests stranded in dead servers' ``.claimed.*`` dirs to
     the inbox.  A claimed dir is swept when its owner pid is not alive on
     this host, or when its requests have sat longer than ``max_age_s``
@@ -133,7 +133,10 @@ def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 1800.0):
     a daemon thread (``_ClaimKeepAlive`` in serve()), so an
     alive-but-compiling server never looks stale no matter how long the
     first compile takes; ``max_age_s`` only needs to exceed the keepalive
-    interval by a wide margin, not bound compile time."""
+    interval by a wide margin, not bound compile time.  300 s = 5 missed
+    touches proves the owner dead, and keeps recovery of a crashed
+    CROSS-HOST server's requests (where the pid check can't see it)
+    within minutes rather than tens of minutes."""
     for name in os.listdir(queue):
         if not name.startswith(".claimed."):
             continue

@@ -219,6 +219,17 @@ def main():
         from vln_ver_tpu.utils.checkpoint import AsyncSaver
         async_saver = AsyncSaver()
 
+    # Preemption safety: TPU-pod/GKE preemption delivers SIGTERM with a
+    # short grace window.  Finish the in-flight step, write a synchronous
+    # checkpoint, and exit 0 so --resume continues from here — the
+    # reference's torch.distributed.launch job just dies (epoch-granular
+    # checkpoints only, vocc.py:293).  SIGINT keeps its default
+    # KeyboardInterrupt for interactive runs.
+    import signal
+    _got_signal: list = []
+    signal.signal(signal.SIGTERM,
+                  lambda sig, frame: _got_signal.append(sig))
+
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
     logf = open(log_path, "a")
     t0 = time.perf_counter()
@@ -243,6 +254,15 @@ def main():
                 state, metrics = step_fn(state, sharded,
                                          jax.random.fold_in(rng, step))
                 step += 1
+                if _got_signal:
+                    print(f"signal {_got_signal[0]}: saving checkpoint "
+                          f"at step {step} and exiting (resume with "
+                          f"--resume)")
+                    if async_saver is not None:
+                        async_saver.wait()
+                    save_state(ckpt_dir, step, state)
+                    logf.flush()
+                    return
                 if step % log_interval == 0 or step == total_steps:
                     m = {k: float(v) for k, v in metrics.items()}
                     m.update(step=step, lr=float(sched(step)),
@@ -304,8 +324,20 @@ def main():
                                 {f"val/{k}": v for k, v in keep.items()},
                                 step)
                             tb_writer.flush()
-                        if args.save_best and args.save_best in em:
-                            cur = float(em[args.save_best])
+                        # multi-threshold evals suffix metric keys with
+                        # @thr — resolve --save-best against the first
+                        # threshold's variant so best-tracking still works
+                        best_key = args.save_best
+                        if best_key and best_key not in em:
+                            cands = [k for k in em
+                                     if k.startswith(best_key + "@")]
+                            best_key = min(cands) if cands else None
+                            if best_key is None:
+                                print(f"warning: --save-best "
+                                      f"{args.save_best!r} matches no "
+                                      f"eval metric {sorted(keep)}")
+                        if best_key is not None:
+                            cur = float(em[best_key])
                             if cur > best_metric:
                                 best_metric = cur
                                 save_state(os.path.join(

@@ -153,11 +153,16 @@ def build_ver_config(cfg: Config, **overrides) -> VERConfig:
         occ_loss_type=head.get("occ_loss_type", VERConfig.occ_loss_type),
         # reference-style file configs follow the ce convention by
         # contract (occupancy_classes INCLUDES empty in ce mode,
-        # head:1527-1533) — affirm it so VERConfig's trap guard only
-        # fires on hand-built configs, where the mistake actually lives
+        # head:1527-1533) — affirm it so VERConfig's guard stays quiet
+        # for conforming configs.  EXCEPT occupancy_classes=16: that is
+        # the focal-mode MP3D real-class count, and a copied focal
+        # config flipped to ce_loss is exactly the aliasing trap the
+        # guard exists to catch — let it fire there too.
         occ_ce_includes_empty=head.get(
             "occ_ce_includes_empty",
-            head.get("occ_loss_type") == "ce_loss"),
+            head.get("occ_loss_type") == "ce_loss"
+            and head.get("occupancy_classes",
+                         VERConfig.occupancy_classes) != 16),
         occ_layout=head.get("occ_layout", VERConfig.occ_layout),
         num_layout_query=head.get("num_layout_query",
                                   VERConfig.num_layout_query),

@@ -32,35 +32,27 @@ from ..models import VoxelFormer
 from ..occupancy import decode_occupancy, occupancy_num_classes
 from ..parallel import multihost
 from .indoor_eval import indoor_eval
-from .ssc_metrics import SSCMetrics
+from .ssc_metrics import SSCMetrics, confusion_hist_device
 
 
-def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
-                   occ_thresholds: Sequence[float] = (0.25,),
-                   limit: Optional[int] = None,
-                   batch_size: int = 1,
-                   classes: Sequence[str] = (),
-                   shard: bool = True,
-                   mesh=None) -> Dict[str, float]:
-    """``mesh``: optional (data, view) jax.sharding.Mesh — single-PROCESS
-    multi-chip eval shards each batch over the ``data`` axis (and cameras
-    over ``view``) so all local chips work; short final batches are padded
-    by repeating the last sample and the pad rows dropped.  Orthogonal to
-    the multi-PROCESS sharding (``shard=True``), which splits the dataset
-    across hosts."""
+# Jitted eval functions cached ACROSS evaluate_model calls: the
+# in-training eval hook calls evaluate_model every tick, and a
+# per-call closure would re-trace (and, through the axon tunnel,
+# re-COMPILE — minutes) the full eval forward each time.  Keyed on the
+# model object + everything the closures capture; the model is pinned in
+# the value so ids cannot be recycled.
+_EVAL_FN_CACHE: dict = {}
+
+
+def _eval_fns(model: VoxelFormer, occ_thresholds):
     cfg = model.cfg
-    if mesh is not None:
-        from ..parallel import (data_axis_size, pad_and_shard,
-                                params_on_mesh,
-                                replicate as _replicate)
-        dsize = data_axis_size(mesh)
-        if batch_size % dsize != 0:
-            raise ValueError(f"batch_size {batch_size} not divisible by "
-                             f"mesh data size {dsize}")
-        # live TP/train params are already laid out on the mesh —
-        # replicating them would defeat the sharding (OOM for TP models)
-        if not params_on_mesh(mesh, params):
-            params = _replicate(mesh, params)
+    key = (id(model), occ_thresholds, cfg.occ_loss_type)
+    hit = _EVAL_FN_CACHE.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1], hit[2]
+
+    n_occ_cls = occupancy_num_classes(cfg.occupancy_classes,
+                                      cfg.occ_loss_type)
 
     @jax.jit
     def forward(params, feats, w2p, shift):
@@ -77,6 +69,61 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
         layouts = layouts[-1] if layouts is not None else None
         return occ, dec, layouts
 
+    @jax.jit
+    def occ_hists(occ_logits, gt, weight):
+        """(B, V, C') logits + (B, V) gt / 0-1 weights -> (T, n, n) int32
+        confusion histograms, one per threshold (thresholds static)."""
+        hs = []
+        for thr in occ_thresholds:
+            pred = jax.vmap(lambda lg: decode_occupancy(
+                lg, thr, loss_type=cfg.occ_loss_type))(occ_logits)
+            hs.append(confusion_hist_device(pred, gt, weight, n_occ_cls))
+        return jnp.stack(hs)
+
+    _EVAL_FN_CACHE[key] = (model, forward, occ_hists)
+    return forward, occ_hists
+
+
+def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
+                   occ_thresholds: Sequence[float] = (0.25,),
+                   limit: Optional[int] = None,
+                   batch_size: int = 1,
+                   classes: Sequence[str] = (),
+                   shard: bool = True,
+                   mesh=None,
+                   device_hist: bool = True) -> Dict[str, float]:
+    """``mesh``: optional (data, view) jax.sharding.Mesh — single-PROCESS
+    multi-chip eval shards each batch over the ``data`` axis (and cameras
+    over ``view``) so all local chips work; short final batches are padded
+    by repeating the last sample and the pad rows dropped.  Orthogonal to
+    the multi-PROCESS sharding (``shard=True``), which splits the dataset
+    across hosts.
+
+    ``device_hist``: fold occupancy predictions into the SSC confusion
+    histogram ON DEVICE (exact same accumulation — see
+    confusion_hist_device; parity-tested in tests/test_evaluation.py).
+    Per batch only the (T, n, n) int32 histograms cross to the host
+    instead of 504k decoded labels per sample — through the axon tunnel
+    that is the difference between one small fetch per batch and an RTT
+    + 2 MB per (sample, threshold); under a mesh the histogram psums
+    across shards on ICI.  ``False`` keeps the per-sample host decode
+    (the oracle path)."""
+    cfg = model.cfg
+    if mesh is not None:
+        from ..parallel import (data_axis_size, pad_and_shard,
+                                params_on_mesh,
+                                replicate as _replicate)
+        dsize = data_axis_size(mesh)
+        if batch_size % dsize != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"mesh data size {dsize}")
+        # live TP/train params are already laid out on the mesh —
+        # replicating them would defeat the sharding (OOM for TP models)
+        if not params_on_mesh(mesh, params):
+            params = _replicate(mesh, params)
+
+    forward, occ_hists = _eval_fns(model, tuple(occ_thresholds))
+
     n = min(len(dataset), limit or len(dataset))
     indices = multihost.shard_indices(n) if shard else range(n)
     per = multihost.shard_size(n) if shard else n
@@ -84,6 +131,7 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
     n_occ_cls = occupancy_num_classes(cfg.occupancy_classes,
                                       cfg.occ_loss_type)
     ssc = {thr: SSCMetrics(n_occ_cls) for thr in occ_thresholds}
+
     # static-shape per-sample result rows (gatherable across processes)
     pred_rows, gt_rows, layout_rows = [], [], []
 
@@ -113,9 +161,27 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
                         for b, v in zip(ldec.bboxes, np.asarray(ldec.valid))
                         if v]
                 layout_rows.append(np.float32(max(ious) if ious else 0.0))
+        if occ is not None and "occ_dense" in batch and device_hist:
+            # decode + histogram ON DEVICE; only (T, n, n) crosses to host
+            gt = np.asarray(batch["occ_dense"])
+            w = ((np.asarray(batch["occ_visible"]) == 1).astype(np.int32)
+                 if "occ_visible" in batch
+                 else np.ones_like(gt, np.int32))
+            if mesh is not None:
+                if gt.shape[0] < batch_size:   # zero-weight the pad rows
+                    padn = batch_size - gt.shape[0]
+                    gt = np.concatenate([gt, np.repeat(gt[-1:], padn, 0)])
+                    w = np.concatenate(
+                        [w, np.zeros((padn,) + w.shape[1:], np.int32)])
+                from ..parallel import shard_batch as _shard_batch
+                sb = _shard_batch(mesh, {"gt": gt, "w": w})
+                gt, w = sb["gt"], sb["w"]
+            h = np.asarray(occ_hists(occ, gt, w)).astype(np.float64)
+            for t, thr in enumerate(occ_thresholds):
+                ssc[thr].hist += h[t]
         for i in range(bsz):
-            if occ is not None and "occ_dense" in batch:
-                # decode + histogram NOW; never retain logits
+            if occ is not None and "occ_dense" in batch and not device_hist:
+                # oracle path: decode + histogram per sample on host
                 logits = jnp.asarray(occ[i])
                 gt = np.asarray(batch["occ_dense"][i])
                 vis = (np.asarray(batch["occ_visible"][i])

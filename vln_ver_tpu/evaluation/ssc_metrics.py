@@ -12,6 +12,34 @@ from __future__ import annotations
 import numpy as np
 
 
+def confusion_hist_device(pred, gt, weight, n_classes: int):
+    """Jittable confusion histogram: ``hist[t, p] += weight`` (row =
+    ground truth, col = prediction — the ``native.confusion_hist``
+    convention) — the exact accumulation of :meth:`SSCMetrics.add_batch`
+    (reference occupancy_metrics.py:30-57) computed ON DEVICE.
+
+    Evaluating through the axon TPU tunnel, fetching each sample's 504k
+    decoded voxel labels to the host costs ~2 MB + one RTT per sample;
+    folding them into the (n, n) histogram inside the jitted program
+    reduces the per-batch transfer to n*n int32 — and under a mesh the
+    scatter-sum psums across shards, so multi-chip eval never
+    materialises per-sample predictions off-device.
+
+    ``weight`` is 0/1 per voxel (visibility mask AND pad-row mask);
+    int32 counts are exact up to 2^31 per cell per call.
+    """
+    import jax.numpy as jnp
+    # out-of-range gt rows produce an out-of-bounds flat index, which
+    # the scatter drops — matching the host path's (gt >= 0) & (gt < n)
+    # filter; predictions are in-range by decode contract
+    idx = (gt.astype(jnp.int32) * n_classes
+           + pred.astype(jnp.int32)).reshape(-1)
+    h = jnp.zeros((n_classes * n_classes,), jnp.int32)
+    h = h.at[idx].add(weight.reshape(-1).astype(jnp.int32),
+                      mode="drop")
+    return h.reshape(n_classes, n_classes)
+
+
 class SSCMetrics:
     def __init__(self, n_classes: int = 17,
                  eval_far: bool = False, eval_near: bool = False,

@@ -20,7 +20,16 @@ from .state import TrainConfig, TrainState
 
 
 def make_train_step(cfg: VERConfig, tc: TrainConfig,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    out_sharding=None) -> Callable:
+    """``out_sharding`` (a ``jax.sharding.Sharding``) pins every output
+    leaf — the updated state and the metrics — to one sharding.  Without
+    it GSPMD may shard some optimizer-moment outputs differently from the
+    (replicated) inputs, so the step's signature changes after the first
+    call: plain jit silently recompiles once, but an AOT-compiled
+    executable (``.lower().compile()``, used by the multi-process tests
+    to control the Gloo rendezvous) rejects the call.  Pass the state's
+    intended sharding (e.g. replicated) to keep the signature stable."""
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         def loss_fn(params):
             outs = state.apply_fn(
@@ -39,7 +48,11 @@ def make_train_step(cfg: VERConfig, tc: TrainConfig,
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    kw = {}
+    if out_sharding is not None:
+        kw["out_shardings"] = (out_sharding, out_sharding)
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   **kw)
 
 
 def optax_global_norm(tree) -> jnp.ndarray:
