@@ -231,3 +231,66 @@ def test_reverie_grounding(tmp_path):
     goal_steps = [r for r in trace if int(r["obs"]["gt_obj"]) >= 0]
     if goal_steps:
         assert int(rec["obs"]["gt_obj"]) < 0 or np.any(np.asarray(gp))
+
+
+def test_memory_arrays_correct_under_slot_recycling():
+    """When the env recycles a slot (episode discovers more viewpoints
+    than max_nodes), memory_arrays must describe the slot's CURRENT
+    occupant — an incremental memory would keep the evicted node's
+    feature/position/visited flag (the bug this guards against)."""
+    from vln_ver_tpu.agent.env import NavGraph
+    from vln_ver_tpu.agent.memory import memory_from_arrays
+
+    rng = np.random.default_rng(0)
+    # chain graph: v0 - v1 - ... - v9, walking it discovers one new
+    # node per step; max_nodes=4 forces recycling from step ~3
+    n_nodes = 10
+    names = [f"v{i}" for i in range(n_nodes)]
+    positions = {v: np.array([float(i), 0.0, 0.0], np.float32)
+                 for i, v in enumerate(names)}
+    edges = {v: [] for v in names}
+    for a, b in zip(names[:-1], names[1:]):
+        edges[a].append(b)
+        edges[b].append(a)
+    graph = NavGraph(positions, edges)
+    ver = {f"s_{v}": rng.standard_normal(
+        (BEV_NUM, CFG.embed_dims)).astype(np.float32) for v in names}
+    ep = dict(scan="s", path=["v0", names[-1]], instr_id="0",
+              instruction_tokens=np.zeros((CFG.max_text_len,), np.int32))
+    env = R2REnv([ep], {"s": graph}, ver, max_nodes=4)
+
+    state = env.reset(0)
+    recycled = False
+    for _ in range(n_nodes - 1):
+        before = dict(state["vp_of"])
+        env.step(state, 1 + state["slot_of"][
+            graph.edges[state["cur"]][-1]])   # walk toward v9
+        if any(before.get(s) not in (None, vp)
+               for s, vp in state["vp_of"].items()):
+            recycled = True
+        arrs = env.memory_arrays(state)
+        # every slot's content matches its CURRENT occupant
+        for s in range(env.max_nodes):
+            vp = state["vp_of"].get(s)
+            if vp is None:
+                assert not arrs["valid"][s]
+                continue
+            assert arrs["valid"][s]
+            np.testing.assert_array_equal(arrs["positions"][s],
+                                          positions[vp])
+            if vp in state["visited_dec"]:
+                assert arrs["visited"][s]
+                np.testing.assert_allclose(
+                    arrs["features"][s],
+                    ver[f"s_{vp}"].astype(np.float32).mean(axis=0),
+                    rtol=1e-6)
+            else:
+                assert not arrs["visited"][s]
+                assert not arrs["features"][s].any()
+        if state["done"]:
+            break
+    assert recycled, "test never exercised slot recycling"
+
+    mem = memory_from_arrays([env.memory_arrays(state)])
+    assert int(mem.count[0]) == int(np.sum(
+        np.asarray(env.memory_arrays(state)["valid"])))

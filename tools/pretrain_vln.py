@@ -83,6 +83,7 @@ def main():
     setup = build_vln_setup(args)
     cfg, episodes, objects = setup.cfg, setup.episodes, setup.objects
     mask_id = setup.mask_id
+    special_ids = setup.special_ids
 
     env = R2REnv(episodes, setup.graphs, setup.ver,
                  max_nodes=cfg.max_nodes, objects=objects)
@@ -114,7 +115,8 @@ def main():
     @jax.jit
     def update(params, opt_state, batch, key):
         def loss_fn(p):
-            return pretrain_loss(model, p, batch, key, mask_id=mask_id)
+            return pretrain_loss(model, p, batch, key, mask_id=mask_id,
+                                 special_ids=special_ids)
         (loss, parts), grads = jax.value_and_grad(loss_fn,
                                                   has_aux=True)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)

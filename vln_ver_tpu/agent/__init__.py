@@ -15,4 +15,5 @@ TPU-first, from the paper + the DUET/HAMT lineage it cites:
 """
 
 from .policy import VLNPolicy, PolicyConfig  # noqa: F401
-from .memory import EpisodicMemory, init_memory, update_memory  # noqa: F401
+from .memory import (EpisodicMemory, init_memory,  # noqa: F401
+                     memory_from_arrays, update_memory)

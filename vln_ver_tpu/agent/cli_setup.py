@@ -76,11 +76,26 @@ def build_vln_setup(args) -> SimpleNamespace:
             xmodal = flax.serialization.msgpack_restore(f.read())
 
     default_mask_id = getattr(args, "mask_id", 1)
+    special_ids: tuple = ()
+    if (args.synthetic and args.objects
+            and args.objects != "synthetic"):
+        raise SystemExit(
+            f"--synthetic with --objects {args.objects!r}: a real object "
+            "pickle cannot pair with synthetic scans (their viewpoint "
+            "tokens won't match) — pass --objects synthetic to rehearse "
+            "grounding, or drop --synthetic")
     if args.synthetic:
-        dims = args.embed_dims or 64
+        # pretrained-arch overrides must shape the SYNTHETIC DATA too:
+        # generating 64-dim VER volumes and then replacing embed_dims
+        # with BERT's hidden size would crash the tokenizer at init
+        dims = (text_overrides["embed_dims"] if text_overrides
+                else args.embed_dims or 64)
+        tlen = (text_overrides["max_text_len"] if text_overrides else 16)
+        vocab = (text_overrides["vocab_size"] if text_overrides else 128)
         cfg = PolicyConfig(embed_dims=dims, num_heads=4, fusion_layers=2,
-                           text_layers=2, ffn_dim=2 * dims, vocab_size=128,
-                           max_text_len=16, max_nodes=16, bev_z=2,
+                           text_layers=2, ffn_dim=2 * dims,
+                           vocab_size=vocab,
+                           max_text_len=tlen, max_nodes=16, bev_z=2,
                            bev_h=4, bev_w=4, num_query_tokens=4)
         bev_num = cfg.bev_z * cfg.bev_h * cfg.bev_w
         objects = None
@@ -108,6 +123,12 @@ def build_vln_setup(args) -> SimpleNamespace:
         ver = load_ver_features(args.ver)
         mask_id = (vocab.stoi.get("[MASK]", default_mask_id)
                    if args.bert_vocab else default_mask_id)
+        if args.bert_vocab:
+            # BERT's create_masked_lm_predictions never masks the
+            # sentence delimiters — exclude them from MLM selection
+            special_ids = tuple(
+                vocab.stoi[t] for t in ("[CLS]", "[SEP]")
+                if t in vocab.stoi)
         objects = None
         if args.objects and args.objects != "synthetic":
             import pickle
@@ -138,6 +159,7 @@ def build_vln_setup(args) -> SimpleNamespace:
 
     return SimpleNamespace(cfg=cfg, episodes=episodes, graphs=graphs,
                            ver=ver, objects=objects, mask_id=mask_id,
+                           special_ids=special_ids,
                            text_params=text_params, xmodal=xmodal)
 
 

@@ -133,7 +133,11 @@ class R2REnv:
         goal = ep["path"][-1]
         state = dict(ep=ep, graph=graph, cur=start, goal=goal,
                      slot_of={}, vp_of={}, steps=0, traj=[start],
-                     length=0.0, done=False)
+                     length=0.0, done=False,
+                     # decision-visited: nodes the policy has STOOD at
+                     # (start + every chosen target); walk-through hops
+                     # on multi-hop teleports are in traj but NOT here
+                     visited_dec={start})
         self._discover(state)
         return state
 
@@ -185,6 +189,52 @@ class R2REnv:
             obs["gt_obj"] = np.int32(gt)
         return obs
 
+    def _pooled_feature(self, token: str) -> np.ndarray:
+        """Voxel-pooled VER feature for a viewpoint (cached — it is a pure
+        function of the token)."""
+        cache = getattr(self, "_pooled_cache", None)
+        if cache is None:
+            cache = self._pooled_cache = {}
+        f = cache.get(token)
+        if f is None:
+            f = cache[token] = self.ver[token].astype(
+                np.float32).mean(axis=0)
+        return f
+
+    def memory_arrays(self, state) -> Dict[str, np.ndarray]:
+        """Episodic-memory content implied by the CURRENT env state: the
+        single source of truth for rollouts/pretraining.
+
+        Rebuilding from state (rather than incrementally patching a
+        device-side memory) is what makes slot RECYCLING correct: when
+        ``_slot`` evicts a viewpoint, its slot simply describes the new
+        occupant here — an incremental path would need an invalidation
+        protocol (and an earlier version silently kept the evicted
+        node's feature/position/visited flag).  It also turns the
+        per-discovered-node device writes into one host build + one
+        transfer per step, which matters on the high-RTT axon backend.
+
+        Visited nodes carry their voxel-pooled VER feature; frontier
+        (discovered, unvisited) nodes are position-only, as in DUET's
+        global map.
+        """
+        n = self.max_nodes
+        c = next(iter(self.ver.values())).shape[-1]
+        feats = np.zeros((n, c), np.float32)
+        pos = np.zeros((n, 3), np.float32)
+        valid = np.zeros((n,), bool)
+        visited = np.zeros((n,), bool)
+        graph = state["graph"]
+        scan = state["ep"]["scan"]
+        for vp, s in state["slot_of"].items():
+            valid[s] = True
+            pos[s] = graph.positions[vp]
+            if vp in state["visited_dec"]:
+                visited[s] = True
+                feats[s] = self._pooled_feature(f"{scan}_{vp}")
+        return dict(features=feats, positions=pos, valid=valid,
+                    visited=visited)
+
     def teacher_action(self, state) -> int:
         """0 = stop, 1+slot = go to that node: the discovered node that
         most reduces shortest-path distance to the goal."""
@@ -227,6 +277,7 @@ class R2REnv:
             cur = hop
             state["traj"].append(cur)
         state["cur"] = target
+        state["visited_dec"].add(target)
         self._discover(state)
 
     def metrics(self, state) -> Dict[str, float]:

@@ -31,6 +31,23 @@ def init_memory(batch: int, max_nodes: int, embed_dims: int) -> EpisodicMemory:
     )
 
 
+def memory_from_arrays(rows) -> EpisodicMemory:
+    """Build a batched memory from per-episode host arrays
+    (``env.memory_arrays`` dicts) — the canonical rollout path: one host
+    build + one transfer per step, correct under env slot recycling
+    (see R2REnv.memory_arrays).  ``update_memory`` below remains the
+    incremental in-graph primitive."""
+    import numpy as np
+    valid = np.stack([r["valid"] for r in rows])
+    return EpisodicMemory(
+        features=jnp.asarray(np.stack([r["features"] for r in rows])),
+        positions=jnp.asarray(np.stack([r["positions"] for r in rows])),
+        valid=jnp.asarray(valid),
+        visited=jnp.asarray(np.stack([r["visited"] for r in rows])),
+        count=jnp.asarray(valid.sum(-1).astype(np.int32)),
+    )
+
+
 def update_memory(mem: EpisodicMemory,
                   node_idx: jnp.ndarray,
                   feature: jnp.ndarray,

@@ -168,8 +168,15 @@ class VLNPolicy(nn.Module):
         return self.text_encoder(tokens, text_mask,
                                  deterministic=deterministic)
 
+    def tokenize_volume(self, volume, deterministic: bool = True):
+        """VER volume -> (B, T, C) tokens (text-independent, so pretrain
+        callers that fuse the same volume against several text variants
+        compute it once and pass it back via ``vol_tokens``)."""
+        return self.ver_tokenizer(volume, deterministic=deterministic)
+
     def local_fusion(self, tokens, text_mask, volume,
                      text_feats: Optional[jnp.ndarray] = None,
+                     vol_tokens: Optional[jnp.ndarray] = None,
                      deterministic: bool = True):
         """Shared local-branch computation (also driven standalone by the
         pretraining proxy tasks, agent/pretrain.py): instruction-grounded
@@ -180,8 +187,9 @@ class VLNPolicy(nn.Module):
         if text_feats is None:
             text_feats = self.encode_text(tokens, text_mask,
                                           deterministic=deterministic)
-        local_tokens = self.ver_tokenizer(volume,
-                                          deterministic=deterministic)
+        local_tokens = (vol_tokens if vol_tokens is not None
+                        else self.ver_tokenizer(
+                            volume, deterministic=deterministic))
         state_pred = self.state_head(local_tokens)
         lmask = jnp.ones(local_tokens.shape[:2], bool)
         x_loc = local_tokens
@@ -193,6 +201,7 @@ class VLNPolicy(nn.Module):
     def __call__(self, tokens, text_mask, volume, memory: EpisodicMemory,
                  cur_pos, cur_node_idx,
                  text_feats: Optional[jnp.ndarray] = None,
+                 vol_tokens: Optional[jnp.ndarray] = None,
                  obj_feats: Optional[jnp.ndarray] = None,
                  obj_valid: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> PolicyOutput:
@@ -209,7 +218,7 @@ class VLNPolicy(nn.Module):
         # -- local branch: instruction <-> current VER volume
         x_loc, text_feats, state_pred = self.local_fusion(
             tokens, text_mask, volume, text_feats=text_feats,
-            deterministic=deterministic)
+            vol_tokens=vol_tokens, deterministic=deterministic)
         local_ctx = self.local_ctx_proj(jnp.mean(x_loc, axis=1))  # (B, C)
 
         # -- global branch: instruction <-> episodic memory nodes
@@ -250,3 +259,18 @@ class VLNPolicy(nn.Module):
         ok = jnp.concatenate([jnp.ones((b, 1), bool), node_ok], axis=1)
         logits = jnp.where(ok, logits, -1e9)
         return PolicyOutput(logits, state_pred, text_feats, obj_logits)
+
+
+def masked_grounding_ce(obj_logits: jnp.ndarray,
+                        gt_obj: jnp.ndarray) -> jnp.ndarray:
+    """REVERIE grounding cross-entropy averaged over the steps whose
+    viewpoint holds the referred object (``gt_obj >= 0``; -1 rows
+    contribute nothing).  One owner for the imitation
+    (rollout.imitation_step_loss) and pretraining (pretrain OG task)
+    objectives."""
+    has = gt_obj >= 0
+    glogp = jax.nn.log_softmax(obj_logits, axis=-1)
+    picked = jnp.take_along_axis(
+        glogp, jnp.maximum(gt_obj, 0)[:, None], axis=1)[:, 0]
+    return -jnp.sum(jnp.where(has, picked, 0.0)) / jnp.maximum(
+        jnp.sum(has), 1)

@@ -40,21 +40,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from .env import R2REnv
-from .memory import init_memory, update_memory
-from .policy import PolicyConfig, VLNPolicy
+from .memory import init_memory, memory_from_arrays
+from .policy import (PolicyConfig, VLNPolicy,
+                     masked_grounding_ce)
 
 
 def mask_tokens(rng: jax.Array, tokens: jnp.ndarray, vocab_size: int,
-                mask_id: int = 1, mask_prob: float = 0.15):
+                mask_id: int = 1, mask_prob: float = 0.15,
+                special_ids: tuple = ()):
     """BERT-recipe masking: of the ``mask_prob`` selected non-pad
     positions, 80% -> ``mask_id``, 10% -> random token, 10% unchanged.
 
-    Returns (masked_tokens, targets, target_mask).  Pad (token 0) is never
-    selected; ``targets`` equals ``tokens`` everywhere, supervised only
-    where ``target_mask``.
+    Returns (masked_tokens, targets, target_mask).  Pad (token 0) and any
+    ``special_ids`` ([CLS]/[SEP] with a WordPiece vocab — BERT's
+    create_masked_lm_predictions skips them too) are never selected;
+    ``targets`` equals ``tokens`` everywhere, supervised only where
+    ``target_mask``.
     """
     r_sel, r_op, r_tok = jax.random.split(rng, 3)
     is_real = tokens > 0
+    for sid in special_ids:            # static tuple, unrolls at trace
+        is_real &= tokens != sid
     sel = (jax.random.uniform(r_sel, tokens.shape) < mask_prob) & is_real
     op = jax.random.uniform(r_op, tokens.shape)
     rand_tok = jax.random.randint(r_tok, tokens.shape, 2, vocab_size)
@@ -85,10 +91,12 @@ class VLNPretrainModel(nn.Module):
                                 name="mlm_out")
 
     def mlm_logits(self, masked_tokens, text_mask, volume,
+                   vol_tokens=None,
                    deterministic: bool = True) -> jnp.ndarray:
         """(B, L, vocab) vision-conditioned MLM prediction."""
         x_loc, text_feats, _ = self.policy.local_fusion(
-            masked_tokens, text_mask, volume, deterministic=deterministic)
+            masked_tokens, text_mask, volume, vol_tokens=vol_tokens,
+            deterministic=deterministic)
         y = self.mlm_cross(text_feats, inputs_k=x_loc, inputs_v=x_loc,
                            deterministic=deterministic)
         h = self.mlm_ln(text_feats + y)
@@ -110,15 +118,22 @@ class VLNPretrainModel(nn.Module):
         if "obj_feats" in batch:
             obj_kw = dict(obj_feats=batch["obj_feats"],
                           obj_valid=batch["obj_valid"])
+        # volume tokenization is text-independent: run the VERTokenizer
+        # ONCE and feed both the SAP policy pass (clean text) and the MLM
+        # pass (masked text) — it is the heaviest non-fusion compute here
+        vol_tokens = self.policy.tokenize_volume(
+            batch["volume"], deterministic=deterministic)
         out = self.policy(batch["instruction"], text_mask, batch["volume"],
                           batch["memory"], batch["cur_pos"],
-                          batch["cur_slot"], deterministic=deterministic,
+                          batch["cur_slot"], vol_tokens=vol_tokens,
+                          deterministic=deterministic,
                           **obj_kw)
         logp = jax.nn.log_softmax(out.logits, axis=-1)
         sap = -jnp.take_along_axis(logp, batch["teacher"][:, None],
                                    axis=1).mean()
 
         logits = self.mlm_logits(masked_tokens, text_mask, batch["volume"],
+                                 vol_tokens=vol_tokens,
                                  deterministic=deterministic)
         lp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(lp, mlm_targets[..., None],
@@ -128,13 +143,8 @@ class VLNPretrainModel(nn.Module):
 
         losses = dict(sap=sap, mlm=mlm)
         if out.obj_logits is not None and "gt_obj" in batch:
-            has = batch["gt_obj"] >= 0
-            glogp = jax.nn.log_softmax(out.obj_logits, axis=-1)
-            picked = jnp.take_along_axis(
-                glogp, jnp.maximum(batch["gt_obj"], 0)[:, None],
-                axis=1)[:, 0]
-            losses["og"] = -jnp.sum(jnp.where(has, picked, 0.0)) \
-                / jnp.maximum(jnp.sum(has), 1)
+            losses["og"] = masked_grounding_ce(out.obj_logits,
+                                               batch["gt_obj"])
         if "state_targets" in batch:
             losses["vse"] = jnp.mean(
                 (out.state_pred - batch["state_targets"]) ** 2)
@@ -142,12 +152,14 @@ class VLNPretrainModel(nn.Module):
 
 
 def pretrain_loss(model: VLNPretrainModel, params, batch, rng,
-                  mask_id: int = 1, deterministic: bool = False):
+                  mask_id: int = 1, deterministic: bool = False,
+                  special_ids: tuple = ()):
     """Total pretraining loss (equal task weights, DUET-style)."""
     r_mask, r_drop = jax.random.split(rng)
     masked, targets, sel = mask_tokens(r_mask, batch["instruction"],
                                        model.cfg.vocab_size,
-                                       mask_id=mask_id)
+                                       mask_id=mask_id,
+                                       special_ids=special_ids)
     losses = model.apply(params, batch, masked, targets, sel,
                          deterministic=deterministic,
                          rngs={"dropout": r_drop})
@@ -163,21 +175,12 @@ def collect_teacher_trace(env: R2REnv, ep_idx: int,
     episodic-memory maintenance below mirrors rollout.run_episode, which
     is policy-parameter-free)."""
     state = env.reset(ep_idx)
-    mem = init_memory(1, cfg.max_nodes, cfg.embed_dims)
     trace: List[Dict] = []
     while not state["done"]:
         obs = env.observe(state)
-        b = {k: jnp.asarray(v)[None] for k, v in obs.items()}
-        vol_feat = jnp.mean(b["volume"], axis=1)
-        mem = update_memory(mem, b["cur_slot"], vol_feat, b["cur_pos"],
-                            jnp.asarray([True]))
-        for slot in np.nonzero(obs["node_valid"])[0]:
-            if not bool(mem.valid[0, slot]):
-                mem = update_memory(
-                    mem, jnp.asarray([slot], jnp.int32),
-                    jnp.zeros((1, cfg.embed_dims)),
-                    jnp.asarray(obs["node_pos"][slot])[None],
-                    jnp.asarray([False]))
+        # one shared memory builder with rollout.run_episode (correct
+        # under slot recycling — env.memory_arrays docstring)
+        mem = memory_from_arrays([env.memory_arrays(state)])
         teacher = env.teacher_action(state)
         trace.append(dict(obs=obs, teacher=teacher,
                           memory=jax.device_get(mem)))

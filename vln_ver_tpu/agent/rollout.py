@@ -16,8 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .env import R2REnv
-from .memory import init_memory, update_memory
-from .policy import PolicyConfig, VLNPolicy
+from .memory import memory_from_arrays
+from .policy import PolicyConfig, VLNPolicy, masked_grounding_ce
 
 
 def _to_batch(obs: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -29,12 +29,19 @@ _STEP_CACHE: Dict[int, object] = {}
 
 def policy_step_fn(policy: VLNPolicy):
     """Jitted policy step, cached per policy instance (a fresh jit per
-    episode would retrace every call)."""
+    episode would retrace every call).  The policy object is pinned in
+    the entry so a recycled ``id`` can never alias a different policy,
+    and the cache is capped (FIFO) so sweep scripts that build many
+    policies don't leak jit executables."""
     key = id(policy)
-    if key not in _STEP_CACHE:
-        _STEP_CACHE[key] = jax.jit(
-            lambda p, *a, **k: policy.apply(p, *a, **k))
-    return _STEP_CACHE[key]
+    hit = _STEP_CACHE.get(key)
+    if hit is not None and hit[0] is policy:
+        return hit[1]
+    if len(_STEP_CACHE) >= 8:
+        _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
+    fn = jax.jit(lambda p, *a, **k: policy.apply(p, *a, **k))
+    _STEP_CACHE[key] = (policy, fn)
+    return fn
 
 
 def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
@@ -45,7 +52,6 @@ def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
     if not greedy and rng is None:
         raise ValueError("sampled rollout (greedy=False) requires rng")
     state = env.reset(ep_idx)
-    mem = init_memory(1, cfg.max_nodes, cfg.embed_dims)
     text_feats = None
     trace: List[Dict] = []
 
@@ -54,19 +60,10 @@ def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
     while not state["done"]:
         obs = env.observe(state)
         b = _to_batch(obs)
-        vol_feat = jnp.mean(b["volume"], axis=1)  # pooled VER for memory
-        mem = update_memory(mem, b["cur_slot"], vol_feat, b["cur_pos"],
-                            jnp.asarray([True]))
-        # register discovered-but-unvisited neighbours with position-only
-        # features so the global branch can score frontiers
-        node_valid = np.asarray(obs["node_valid"])
-        for slot in np.nonzero(node_valid)[0]:
-            if not bool(mem.valid[0, slot]):
-                mem = update_memory(
-                    mem, jnp.asarray([slot], jnp.int32),
-                    jnp.zeros((1, cfg.embed_dims)),
-                    jnp.asarray(obs["node_pos"][slot])[None],
-                    jnp.asarray([False]))
+        # memory = pure function of env state (visited nodes carry pooled
+        # VER, frontiers are position-only) — one transfer per step and
+        # correct under slot recycling (env.memory_arrays docstring)
+        mem = memory_from_arrays([env.memory_arrays(state)])
 
         obj_kw = {}
         if "obj_feats" in obs:
@@ -112,7 +109,6 @@ def run_episodes_batched(policy: VLNPolicy, params, env: R2REnv,
         raise ValueError("sampled rollout (greedy=False) requires rng")
     bsz = len(ep_idxs)
     states = [env.reset(i) for i in ep_idxs]
-    mem = init_memory(bsz, cfg.max_nodes, cfg.embed_dims)
     text_feats = None
     traces = [[] for _ in ep_idxs]
     step_fn = policy_step_fn(policy)
@@ -125,39 +121,10 @@ def run_episodes_batched(policy: VLNPolicy, params, env: R2REnv,
         last_obs = obs
         b = {k: jnp.asarray(np.stack([o[k] for o in obs]))
              for k in obs[0]}
-        act_mask = jnp.asarray(active)
-        vol_feat = jnp.mean(b["volume"], axis=1)
-        mem = update_memory(mem, b["cur_slot"], vol_feat, b["cur_pos"],
-                            act_mask, write_mask=act_mask)
-        # frontier registration: episodes discover different numbers of
-        # new nodes per step -> rounds of masked single-slot writes
-        pending = []
-        for i, o in enumerate(obs):
-            if not active[i]:
-                continue
-            valid_np = np.asarray(mem.valid[i])
-            for slot in np.nonzero(o["node_valid"])[0]:
-                if not valid_np[slot]:
-                    pending.append((i, slot, o["node_pos"][slot]))
-        while pending:
-            rows = {}
-            rest = []
-            for item in pending:
-                if item[0] in rows:
-                    rest.append(item)
-                else:
-                    rows[item[0]] = item
-            slots = np.zeros((bsz,), np.int32)
-            poss = np.zeros((bsz, 3), np.float32)
-            wm = np.zeros((bsz,), bool)
-            for row, (_, slot, pos) in rows.items():
-                slots[row], poss[row], wm[row] = slot, pos, True
-            mem = update_memory(mem, jnp.asarray(slots),
-                                jnp.zeros((bsz, cfg.embed_dims)),
-                                jnp.asarray(poss),
-                                jnp.zeros((bsz,), bool),
-                                write_mask=jnp.asarray(wm))
-            pending = rest
+        # one host build + one transfer for the whole batch (finished
+        # episodes rebuild from their frozen final state — identical
+        # rows, outputs ignored)
+        mem = memory_from_arrays([env.memory_arrays(s) for s in states])
 
         obj_kw = {}
         if "obj_feats" in b:
@@ -227,12 +194,6 @@ def imitation_step_loss(policy: VLNPolicy, params, batch,
         aux = jnp.mean((out.state_pred - state_targets) ** 2)
     ground = 0.0
     if out.obj_logits is not None and "gt_obj" in batch:
-        # grounding CE on steps whose viewpoint holds the target object
-        has = batch["gt_obj"] >= 0
-        glogp = jax.nn.log_softmax(out.obj_logits, axis=-1)
-        picked = jnp.take_along_axis(
-            glogp, jnp.maximum(batch["gt_obj"], 0)[:, None], axis=1)[:, 0]
-        ground = -jnp.sum(jnp.where(has, picked, 0.0)) / jnp.maximum(
-            jnp.sum(has), 1)
+        ground = masked_grounding_ce(out.obj_logits, batch["gt_obj"])
     return (nll + 0.5 * aux + ground,
             dict(action_nll=nll, state_mse=aux, ground_nll=ground))

@@ -235,7 +235,10 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: VERConfig
     unexpected = [
         k for k in skipped
         if not k.startswith(_SKIP_PREFIXES) and k not in _SKIP_KEYS
-        # reg branches beyond decoder_layers exist when as_two_stage
+        # the reference builds layout_branches UNCONDITIONALLY
+        # (head._init_layers), so with cfg.add_layout=False they are
+        # expected leftovers; with add_layout=True they were consumed
+        # above (line ~166) and never reach `skipped`
         and not k.startswith(f"{h}.layout_branches.")
         and "num_batches_tracked" not in k
     ]

@@ -50,6 +50,8 @@ def _eval_fns(model: VoxelFormer, occ_thresholds):
     hit = _EVAL_FN_CACHE.get(key)
     if hit is not None and hit[0] is model:
         return hit[1], hit[2]
+    if len(_EVAL_FN_CACHE) >= 8:   # bound pinned models/executables
+        _EVAL_FN_CACHE.pop(next(iter(_EVAL_FN_CACHE)))
 
     n_occ_cls = occupancy_num_classes(cfg.occupancy_classes,
                                       cfg.occ_loss_type)

@@ -54,10 +54,19 @@ def make_multislice_mesh(num_slices: int, data: int, view: int = 1,
         num_slices, data, view, len(devices))
     arr = None
     slice_ids = {getattr(d, "slice_index", None) for d in devices}
-    if None not in slice_ids and len(slice_ids) == num_slices > 1:
+    if None not in slice_ids and len(slice_ids) > 1:
         # real multi-slice hardware: slice-major placement so `slice` is
         # the DCN axis.  (Multi-process CPU also exposes slice_index, but
         # as a single value — the reshape fallback below handles it.)
+        if len(slice_ids) != num_slices:
+            # a plain-reshape fallback here would interleave DCN links
+            # inside the 'data' axis and silently route every per-sample
+            # collective over DCN — refuse instead
+            raise ValueError(
+                f"num_slices={num_slices} but the devices span "
+                f"{len(slice_ids)} hardware slices "
+                f"{sorted(slice_ids)}; pass num_slices="
+                f"{len(slice_ids)} so the 'slice' axis is the DCN axis")
         from jax.experimental import mesh_utils
         arr = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, data, view),
