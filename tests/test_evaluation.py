@@ -47,7 +47,10 @@ def test_confusion_hist_device_matches_host():
     rng = np.random.default_rng(0)
     n = 17
     pred = rng.integers(0, n, (3, 5000)).astype(np.int32)
-    gt = rng.integers(0, n, (3, 5000)).astype(np.int32)
+    # include OUT-OF-RANGE gt (negative ignore labels and >= n): the
+    # host path filters them; the device scatter must not wrap them
+    # (negative flat indices normalize NumPy-style before 'drop')
+    gt = rng.integers(-2, n + 3, (3, 5000)).astype(np.int32)
     vis = rng.integers(0, 2, (3, 5000)).astype(np.int32)
 
     for weight in (np.ones_like(vis), vis):

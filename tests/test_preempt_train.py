@@ -50,7 +50,7 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
     out, _ = p.communicate(timeout=240)
     seen.append(out)
     assert p.returncode == 0, "".join(seen)[-3000:]
-    assert "saving checkpoint" in out, out[-3000:]
+    assert "signal checkpoint saved" in out, out[-3000:]
 
     from vln_ver_tpu.utils.checkpoint import latest_step
     step = latest_step(os.path.join(wd, "ckpt"))

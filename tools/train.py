@@ -234,6 +234,7 @@ def main():
     logf = open(log_path, "a")
     t0 = time.perf_counter()
     step = start_step
+    stop_at_step = None
     epoch = 0
     best_metric = float("-inf")
     val_ds = None
@@ -254,14 +255,29 @@ def main():
                 state, metrics = step_fn(state, sharded,
                                          jax.random.fold_in(rng, step))
                 step += 1
-                if _got_signal:
-                    print(f"signal {_got_signal[0]}: saving checkpoint "
-                          f"at step {step} and exiting (resume with "
+                if _got_signal and stop_at_step is None:
+                    # Multi-process: the orbax save is a cross-process
+                    # collective keyed on the step path, but with async
+                    # dispatch each process's python step counter may
+                    # differ by a step when the signal lands — agree on
+                    # max(step) across processes and keep stepping until
+                    # every process reaches it, so all of them call
+                    # save_state with the SAME step.
+                    stop_at_step = step
+                    if jax.process_count() > 1:
+                        from jax.experimental import multihost_utils
+                        stop_at_step = int(multihost_utils
+                                           .process_allgather(
+                                               np.int64(step)).max())
+                    print(f"signal {_got_signal[0]}: will checkpoint at "
+                          f"step {stop_at_step} and exit (resume with "
                           f"--resume)")
+                if stop_at_step is not None and step >= stop_at_step:
                     if async_saver is not None:
                         async_saver.wait()
                     save_state(ckpt_dir, step, state)
                     logf.flush()
+                    print(f"signal checkpoint saved at step {step}")
                     return
                 if step % log_interval == 0 or step == total_steps:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -325,13 +341,16 @@ def main():
                                 step)
                             tb_writer.flush()
                         # multi-threshold evals suffix metric keys with
-                        # @thr — resolve --save-best against the first
-                        # threshold's variant so best-tracking still works
+                        # @thr — resolve --save-best against the FIRST
+                        # listed threshold's variant (the user's primary)
                         best_key = args.save_best
                         if best_key and best_key not in em:
+                            first = (f"{best_key}"
+                                     f"@{args.occ_thresholds[0]:.2f}")
                             cands = [k for k in em
                                      if k.startswith(best_key + "@")]
-                            best_key = min(cands) if cands else None
+                            best_key = (first if first in em
+                                        else (cands[0] if cands else None))
                             if best_key is None:
                                 print(f"warning: --save-best "
                                       f"{args.save_best!r} matches no "

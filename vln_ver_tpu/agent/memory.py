@@ -31,20 +31,25 @@ def init_memory(batch: int, max_nodes: int, embed_dims: int) -> EpisodicMemory:
     )
 
 
-def memory_from_arrays(rows) -> EpisodicMemory:
+def memory_from_arrays(rows, host: bool = False) -> EpisodicMemory:
     """Build a batched memory from per-episode host arrays
     (``env.memory_arrays`` dicts) — the canonical rollout path: one host
     build + one transfer per step, correct under env slot recycling
     (see R2REnv.memory_arrays).  ``update_memory`` below remains the
-    incremental in-graph primitive."""
+    incremental in-graph primitive.
+
+    ``host=True`` keeps numpy leaves (no device transfer) — for trace
+    recording, where fetching the just-uploaded struct back with
+    ``device_get`` would cost a pointless round trip per step."""
     import numpy as np
+    conv = (lambda x: x) if host else jnp.asarray
     valid = np.stack([r["valid"] for r in rows])
     return EpisodicMemory(
-        features=jnp.asarray(np.stack([r["features"] for r in rows])),
-        positions=jnp.asarray(np.stack([r["positions"] for r in rows])),
-        valid=jnp.asarray(valid),
-        visited=jnp.asarray(np.stack([r["visited"] for r in rows])),
-        count=jnp.asarray(valid.sum(-1).astype(np.int32)),
+        features=conv(np.stack([r["features"] for r in rows])),
+        positions=conv(np.stack([r["positions"] for r in rows])),
+        valid=conv(valid),
+        visited=conv(np.stack([r["visited"] for r in rows])),
+        count=conv(valid.sum(-1).astype(np.int32)),
     )
 
 

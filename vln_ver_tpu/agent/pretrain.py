@@ -179,11 +179,12 @@ def collect_teacher_trace(env: R2REnv, ep_idx: int,
     while not state["done"]:
         obs = env.observe(state)
         # one shared memory builder with rollout.run_episode (correct
-        # under slot recycling — env.memory_arrays docstring)
-        mem = memory_from_arrays([env.memory_arrays(state)])
+        # under slot recycling — env.memory_arrays docstring); host-only:
+        # no policy runs here, so the memory never needs to touch the
+        # device (stack_records converts once at batch time)
+        mem = memory_from_arrays([env.memory_arrays(state)], host=True)
         teacher = env.teacher_action(state)
-        trace.append(dict(obs=obs, teacher=teacher,
-                          memory=jax.device_get(mem)))
+        trace.append(dict(obs=obs, teacher=teacher, memory=mem))
         env.step(state, teacher)
     return trace
 

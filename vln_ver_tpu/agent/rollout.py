@@ -63,7 +63,8 @@ def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
         # memory = pure function of env state (visited nodes carry pooled
         # VER, frontiers are position-only) — one transfer per step and
         # correct under slot recycling (env.memory_arrays docstring)
-        mem = memory_from_arrays([env.memory_arrays(state)])
+        arrs = env.memory_arrays(state)
+        mem = memory_from_arrays([arrs])
 
         obj_kw = {}
         if "obj_feats" in obs:
@@ -77,7 +78,8 @@ def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
         teacher = env.teacher_action(state)
         if collect_teacher:
             trace.append(dict(obs=obs, teacher=teacher,
-                              memory=jax.device_get(mem)))
+                              memory=memory_from_arrays([arrs],
+                                                        host=True)))
         if greedy:
             action = int(jnp.argmax(out.logits[0]))
         else:
@@ -124,7 +126,8 @@ def run_episodes_batched(policy: VLNPolicy, params, env: R2REnv,
         # one host build + one transfer for the whole batch (finished
         # episodes rebuild from their frozen final state — identical
         # rows, outputs ignored)
-        mem = memory_from_arrays([env.memory_arrays(s) for s in states])
+        batch_arrs = [env.memory_arrays(s) for s in states]
+        mem = memory_from_arrays(batch_arrs)
 
         obj_kw = {}
         if "obj_feats" in b:
@@ -146,8 +149,8 @@ def run_episodes_batched(policy: VLNPolicy, params, env: R2REnv,
             if collect_teacher:
                 traces[i].append(dict(
                     obs=obs[i], teacher=teacher,
-                    memory=jax.device_get(jax.tree.map(
-                        lambda x: x[i:i + 1], mem))))
+                    memory=memory_from_arrays([batch_arrs[i]],
+                                              host=True)))
             action = (int(np.argmax(logits[i])) if greedy
                       else int(sampled[i]))
             if action == 0 and out.obj_logits is not None:

@@ -17,7 +17,7 @@ import os
 import warnings
 from typing import Any, Dict, List, Optional
 
-from ..models.config import VERConfig
+from ..models.config import MP3D_FOCAL_REAL_CLASSES, VERConfig
 from ..train.state import TrainConfig
 
 
@@ -162,7 +162,8 @@ def build_ver_config(cfg: Config, **overrides) -> VERConfig:
             "occ_ce_includes_empty",
             head.get("occ_loss_type") == "ce_loss"
             and head.get("occupancy_classes",
-                         VERConfig.occupancy_classes) != 16),
+                         VERConfig.occupancy_classes)
+            != MP3D_FOCAL_REAL_CLASSES),
         occ_layout=head.get("occ_layout", VERConfig.occ_layout),
         num_layout_query=head.get("num_layout_query",
                                   VERConfig.num_layout_query),

@@ -29,14 +29,16 @@ def confusion_hist_device(pred, gt, weight, n_classes: int):
     int32 counts are exact up to 2^31 per cell per call.
     """
     import jax.numpy as jnp
-    # out-of-range gt rows produce an out-of-bounds flat index, which
-    # the scatter drops — matching the host path's (gt >= 0) & (gt < n)
-    # filter; predictions are in-range by decode contract
-    idx = (gt.astype(jnp.int32) * n_classes
-           + pred.astype(jnp.int32)).reshape(-1)
+    # match the host path's (gt >= 0) & (gt < n) filter explicitly:
+    # gt >= n overflows the flat index and mode='drop' discards it, but
+    # NEGATIVE gt must be masked by weight — .at[] normalizes negative
+    # indices NumPy-style BEFORE the bounds check, so gt=-1 would wrap
+    # into the last row instead of dropping
+    gt = gt.astype(jnp.int32)
+    w = weight.astype(jnp.int32) * (gt >= 0)
+    idx = (gt * n_classes + pred.astype(jnp.int32)).reshape(-1)
     h = jnp.zeros((n_classes * n_classes,), jnp.int32)
-    h = h.at[idx].add(weight.reshape(-1).astype(jnp.int32),
-                      mode="drop")
+    h = h.at[idx].add(w.reshape(-1), mode="drop")
     return h.reshape(n_classes, n_classes)
 
 

@@ -11,6 +11,14 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+# MP3D's focal-mode REAL semantic class count (vocc.py:44-46: 16 classes
+# + empty handled as an extra sigmoid threshold, not a channel).  A
+# ce_loss config carrying exactly this count is near-certainly a copied
+# focal config that forgot ce mode needs empty INCLUDED as the last
+# channel (17 for MP3D) — the guard in VERConfig.__post_init__ and the
+# file-config affirmation in config/api.py both key off this constant.
+MP3D_FOCAL_REAL_CLASSES = 16
+
 
 @dataclasses.dataclass(frozen=True)
 class VERConfig:
@@ -116,7 +124,7 @@ class VERConfig:
         # MP3D — combining the two silently aliases real class 15 with
         # empty.
         if self.occ_loss_type == "ce_loss" and not self.occ_ce_includes_empty:
-            if self.occupancy_classes == 16:
+            if self.occupancy_classes == MP3D_FOCAL_REAL_CLASSES:
                 # 16 is the focal-mode MP3D REAL-class default: combining
                 # it with ce_loss is near-certainly the aliasing trap
                 raise ValueError(
