@@ -107,3 +107,31 @@ def test_indoor_eval_end_to_end():
     assert m["b_AP_0.25"] == 1.0  # false positive ranked below the match
     assert m["mAP_0.25"] == 1.0
     assert m["mAP_0.50"] == 1.0
+
+
+def test_indoor_eval_duplicate_detection_is_fp():
+    """VOC matching semantics (reference indoor_eval.py:125-143): each
+    detection matches its ARGMAX GT over all GTs; if that GT is already
+    taken the detection is FP — it must not greedily re-match a weaker
+    second GT (which would inflate AP)."""
+    gt = [{"boxes": np.array([[0, 0, 0, 2, 2, 2, 0.0],
+                              [1.0, 0, 0, 2, 2, 2, 0.0]]),
+           "labels": np.array([0, 0])}]
+    # both detections sit exactly on GT-A (IoU 1.0 with A, 1/3 with B)
+    pred = [{"boxes": np.array([[0, 0, 0, 2, 2, 2, 0.0],
+                                [0, 0, 0, 2, 2, 2, 0.0]]),
+             "labels": np.array([0, 0]),
+             "scores": np.array([0.9, 0.8])}]
+    m = indoor_eval(gt, pred, iou_thresholds=(0.25,), classes=("a",))
+    # tp=[1,0] fp=[0,1], npos=2 -> area-AP 0.5 (greedy re-match gives 1.0)
+    assert abs(m["a_AP_0.25"] - 0.5) < 1e-9
+
+
+def test_indoor_eval_threshold_is_strict():
+    """The reference marks TP only for iou_max > thresh (strict)."""
+    gt = [{"boxes": np.array([[0, 0, 0, 2, 2, 2, 0.0]]),
+           "labels": np.array([0])}]
+    pred = [{"boxes": np.array([[1.0, 0, 0, 2, 2, 2, 0.0]]),  # IoU = 1/3
+             "labels": np.array([0]), "scores": np.array([0.9])}]
+    m = indoor_eval(gt, pred, iou_thresholds=(1 / 3,), classes=("a",))
+    assert m["a_AP_0.33"] == 0.0

@@ -50,3 +50,20 @@ def test_confusion_hist_parity(lib_ok):
     exp = np.bincount(17 * gt[k].astype(np.int64) + pred[k],
                       minlength=17 * 17).reshape(17, 17)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_confusion_hist_oob_parity_native_vs_fallback(monkeypatch):
+    """Out-of-range PRED entries must be dropped identically by the native
+    path (ver_host.cc bounds-checks both pred and gt) and the numpy
+    fallback — pred == n_classes must not spill into the next gt row nor
+    overflow the bincount reshape."""
+    gt = np.array([0, 16, 5, 16], np.int32)
+    pred = np.array([17, 16, -1, 17], np.int32)
+    exp = np.zeros((17, 17), np.int64)
+    exp[16, 16] = 1
+    if native.available():
+        np.testing.assert_array_equal(
+            native.confusion_hist(pred, gt, 17), exp)
+    monkeypatch.setattr(native, "_load", lambda: None)  # force fallback
+    np.testing.assert_array_equal(
+        native.confusion_hist(pred, gt, 17), exp)

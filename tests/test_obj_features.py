@@ -40,14 +40,16 @@ def test_extract_end_to_end(tmp_path):
     scan, vp = "scanA", "vp0001"
     token = f"{scan}_{vp}"
 
-    # reference HDF5 contract: (1, 197, 768) values incl CLS row,
-    # keys {scan}_{vp}_i1_{deg}
+    # reference HDF5 contract: (1, 197, 768) values incl CLS row, keys
+    # {scan}_{vp}_i1_{ix} with a RAW view index suffix (the reference's
+    # loader keys vp+'_i1_'+str(deg) for deg in range(6) —
+    # voxel_encoder.py:124-126 — and data/mp3d.py reads the same way)
     feats_path = tmp_path / "vit.hdf5"
     views = {0: rng.standard_normal((1, 197, 768)).astype(np.float32),
              3: rng.standard_normal((1, 197, 768)).astype(np.float32)}
     with h5py.File(feats_path, "w") as h5:
         for ix, v in views.items():
-            h5[f"{scan}_{vp}_i1_{ix * 10}"] = v
+            h5[f"{scan}_{vp}_i1_{ix}"] = v
 
     bbox_path = tmp_path / "BBoxes.json"
     anno = {token: {
@@ -74,6 +76,26 @@ def test_extract_end_to_end(tmp_path):
     p0 = patch_pool(views[0][0, 1:, :], (100, 100, 200, 150), 640, 480)
     p3 = patch_pool(views[3][0, 1:, :], (50, 60, 80, 90), 640, 480)
     np.testing.assert_allclose(feats[1], (p0 + p3) / 2, rtol=1e-5)
+
+
+def test_mattersim_mapping_hits_ring_keys(tmp_path):
+    """visible_pos 14 = elevation ring 1, heading 2 under the MatterSim
+    36-view convention -> key _i1_2 (reference voxel_encoder.py:127-130
+    per-ring layout)."""
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((1, 197, 768)).astype(np.float32)
+    with h5py.File(tmp_path / "vit.hdf5", "w") as h5:
+        h5["s_v_i1_2"] = v
+    (tmp_path / "bb.json").write_text(json.dumps(
+        {"s_v": {"o1": {"name": "x", "visible_pos": [14],
+                        "bbox2d": [[0, 0, 640, 480]]}}}))
+    out = extract(str(tmp_path / "bb.json"), str(tmp_path / "vit.hdf5"),
+                  mapping="mattersim")
+    np.testing.assert_allclose(out["s_v"]["feats"][0],
+                               v[0, 1:, :].mean(axis=0), rtol=1e-5)
+    # the default index mapping would look for _i1_14 and find nothing
+    assert extract(str(tmp_path / "bb.json"),
+                   str(tmp_path / "vit.hdf5")) == {}
 
 
 def test_cli_writes_env_compatible_pkl(tmp_path):

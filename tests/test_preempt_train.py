@@ -67,3 +67,8 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert f"resumed from step {step}" in r.stdout, r.stdout[-3000:]
     assert "done" in r.stdout
+    # the resumed run must actually STEP from the restored position
+    # (exercises the resume data-order derivation: epoch + within-epoch
+    # skip from start_step) — log-interval 1 prints every step
+    assert re.search(rf"^step {step + 1}:", r.stdout, re.M), \
+        r.stdout[-3000:]

@@ -133,6 +133,20 @@ def main():
 
     if not args.skip_jax:
         import jax
+
+        # This leg is defined as a SAME-HOST CPU software ratio (torch
+        # eager vs jitted JAX on one core).  The deployment env pins
+        # JAX_PLATFORMS=axon, and on that remote backend block_until_ready
+        # returns before completion — timing there would measure dispatch
+        # RTT, not compute.  Force CPU before any backend use and fail
+        # loudly if the pin won.
+        jax.config.update("jax_platforms", "cpu")
+        if jax.devices()[0].platform != "cpu":
+            raise SystemExit(
+                "anchor_a100: could not force the CPU backend "
+                f"(got {jax.devices()[0].platform}); the software ratio "
+                "is only meaningful on CPU — run with JAX_PLATFORMS=cpu "
+                "in a fresh process")
         import jax.numpy as jnp
 
         from vln_ver_tpu.models import VoxelFormer

@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -77,23 +76,17 @@ def main():
             return s
         return fn
 
-    import jax.numpy as jnp
-    short, long_ = run_n(2), run_n(2 + args.iters)
-    for _ in range(args.warmup):
-        float(short(params, feats, w2p, shift))
-    t0 = time.perf_counter()
-    float(short(params, feats, w2p, shift))
-    t_short = time.perf_counter() - t0
-    float(long_(params, feats, w2p, shift))
-    t0 = time.perf_counter()
-    float(long_(params, feats, w2p, shift))
-    dt = max(time.perf_counter() - t0 - t_short, 1e-6)
-    fps = args.batch_size * args.iters / dt
+    # min-of-3 scan-differenced timing (utils/bench.scan_diff_time):
+    # a single-sample difference swings ~20% through the tunnel RTT
+    from vln_ver_tpu.utils.bench import scan_diff_time
+    sec_per_iter = scan_diff_time(run_n, (params, feats, w2p, shift),
+                                  iters=args.iters, warmup=args.warmup)
+    fps = args.batch_size / sec_per_iter
     print(f"device={jax.devices()[0].platform} cams={cfg.num_cams} "
           f"batch={args.batch_size} mode={args.mode} "
           f"dtype={cfg.dtype.__name__ if hasattr(cfg.dtype, '__name__') else cfg.dtype}")
     print(f"throughput: {fps:.3f} samples/s "
-          f"({dt / args.iters * 1000:.1f} ms/iter)")
+          f"({sec_per_iter * 1000:.1f} ms/iter)")
 
 
 if __name__ == "__main__":

@@ -17,8 +17,16 @@ BBox JSON schema (REVERIE v1):
   {"{scan}_{vp}": {objId: {"name": ..., "visible_pos": [view_ix...],
                            "bbox2d": [[x, y, w, h], ...]}, ...}, ...}
 
-View-index -> HDF5 key mapping is configurable; default matches the
-36-view panorama contract: deg = view_ix * (360 // views), cam fixed at 1.
+View-index -> HDF5 key mapping (--view-mapping):
+  index (default): key suffix IS the raw view index
+    ({scan}_{vp}_i{cam}_{ix}) — the convention of the reference's own
+    loader (voxel_encoder.py:124-126 keys vp+'_i1_'+str(deg) for deg in
+    range(6), i.e. an index, not degrees) and of this repo's data layer
+    (data/mp3d.py, data/synthetic.py).
+  mattersim: REVERIE's visible_pos enumerate the MatterSim 36-view
+    panorama (3 elevation rings x 12 headings); map to the reference's
+    dormant per-ring layout _i{ring}_{heading}
+    (voxel_encoder.py:127-130, commented out upstream).
 
 Usage:
   python tools/extract_obj_features.py --bbox BBoxes.json \
@@ -57,14 +65,22 @@ def patch_pool(feat: np.ndarray, bbox, img_w: int, img_h: int,
     return sel.mean(axis=0).astype(np.float32)
 
 
+def view_key(scan: str, vp: str, ix: int, cam: int = 1,
+             mapping: str = "index") -> str:
+    """HDF5 key for panorama view ``ix`` (see module docstring)."""
+    if mapping == "mattersim":
+        return f"{scan}_{vp}_i{ix // 12}_{ix % 12}"
+    return f"{scan}_{vp}_i{cam}_{int(ix)}"
+
+
 def extract(bbox_path: str, feature_path: str, views: int = 36,
             cam: int = 1, img_w: int = 640, img_h: int = 480,
-            max_objects: int | None = None):
+            max_objects: int | None = None, mapping: str = "index"):
     import h5py
     with open(bbox_path) as f:
         anno = json.load(f)
     out = {}
-    deg_step = 360 // views
+    missing = 0
     with h5py.File(feature_path, "r") as h5:
         for token, objs in anno.items():
             scan, vp = token.split("_", 1)
@@ -73,8 +89,9 @@ def extract(bbox_path: str, feature_path: str, views: int = 36,
                 pooled = []
                 boxes = entry.get("bbox2d", [])
                 for k, ix in enumerate(entry.get("visible_pos", [])):
-                    key = f"{scan}_{vp}_i{cam}_{int(ix) * deg_step}"
+                    key = view_key(scan, vp, int(ix), cam, mapping)
                     if key not in h5 or k >= len(boxes):
+                        missing += key not in h5
                         continue
                     ft = np.asarray(h5[key])[0, 1:, :]  # drop CLS row
                     pooled.append(patch_pool(ft, boxes[k], img_w, img_h))
@@ -86,6 +103,12 @@ def extract(bbox_path: str, feature_path: str, views: int = 36,
             if ids:
                 out[token] = {"ids": ids,
                               "feats": np.stack(feats).astype(np.float32)}
+    if missing:
+        # silent drops would let a wrong --view-mapping masquerade as a
+        # sparse feature file — say what was skipped
+        print(f"extract_obj_features: {missing} visible_pos views had no "
+              f"HDF5 key under mapping={mapping!r} and were skipped",
+              file=sys.stderr)
     return out
 
 
@@ -97,13 +120,17 @@ def main():
     p.add_argument("--out", required=True, help="output pkl")
     p.add_argument("--views", type=int, default=36)
     p.add_argument("--cam", type=int, default=1)
+    p.add_argument("--view-mapping", choices=["index", "mattersim"],
+                   default="index",
+                   help="visible_pos -> HDF5 key (module docstring)")
     p.add_argument("--img-w", type=int, default=640)
     p.add_argument("--img-h", type=int, default=480)
     p.add_argument("--max-objects", type=int, default=None)
     args = p.parse_args()
 
     out = extract(args.bbox, args.features, args.views, args.cam,
-                  args.img_w, args.img_h, args.max_objects)
+                  args.img_w, args.img_h, args.max_objects,
+                  mapping=args.view_mapping)
     with open(args.out, "wb") as f:
         pickle.dump(out, f)
     n_obj = sum(len(v["ids"]) for v in out.values())

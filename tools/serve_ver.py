@@ -103,7 +103,13 @@ def parse_args():
 def _claim(inbox: str, claimed_dir: str, limit: int):
     """Atomically claim up to ``limit`` pending requests (rename into the
     per-server claimed dir; losers of a race just skip).  Dotfiles are
-    client write-temps and are never claimed."""
+    client write-temps and are never claimed.
+
+    The claimed dir is (re)created on every claim: a peer's orphan sweep
+    may rmdir it while we are idle (cross-host pids are unverifiable), and
+    without this the rename below would fail ENOENT forever — silently,
+    since losing a claim race is also an OSError."""
+    os.makedirs(claimed_dir, exist_ok=True)
     try:
         names = sorted(f for f in os.listdir(inbox)
                        if f.endswith(".npz") and not f.startswith("."))
@@ -154,18 +160,30 @@ def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 300.0):
                 alive = True
             except OSError:
                 alive = False
-        for f in list(os.listdir(d)):
+        try:
+            names = list(os.listdir(d))
+        except OSError:
+            continue  # dir vanished (owner finished a batch) — fine
+        for f in names:
             path = os.path.join(d, f)
-            stale = (time.time() - os.path.getmtime(path)) > max_age_s
+            try:
+                stale = (time.time() - os.path.getmtime(path)) > max_age_s
+            except OSError:
+                continue  # owner served/removed it between listdir+stat
             if (not alive) or stale:
                 try:
                     os.rename(path, os.path.join(inbox, f))
                 except OSError:
                     pass
-        try:
-            os.rmdir(d)  # only succeeds when emptied and not ours
-        except OSError:
-            pass
+        # Only remove a PROVEN-dead owner's dir.  An alive (or cross-host,
+        # pid-unverifiable) server's empty claimed dir must stay: removing
+        # it would make its next _claim os.rename fail ENOENT forever
+        # (silently — _claim skips OSError), zombifying a healthy server.
+        if not alive and pid > 0:
+            try:
+                os.rmdir(d)  # only succeeds when emptied
+            except OSError:
+                pass
 
 
 def serve(args) -> int:

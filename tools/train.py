@@ -230,12 +230,24 @@ def main():
     signal.signal(signal.SIGTERM,
                   lambda sig, frame: _got_signal.append(sig))
 
+    if len(dataset) < batch_size:
+        raise SystemExit(f"dataset ({len(dataset)} samples) smaller than "
+                         f"--batch-size {batch_size} (drop_last would "
+                         "yield zero batches per epoch)")
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
     logf = open(log_path, "a")
     t0 = time.perf_counter()
     step = start_step
     stop_at_step = None
-    epoch = 0
+    # --resume continues the DATA ORDER too: derive the epoch (shuffle
+    # seed) and the within-epoch position from the restored step, so a
+    # preempted run doesn't replay epoch 0's batches (the reference's
+    # mmcv resume restores the epoch counter the same way).  Exact
+    # because drop_last=True makes every epoch yield
+    # len(dataset)//batch_size batches.
+    batches_per_epoch = len(dataset) // batch_size
+    epoch = start_step // batches_per_epoch
+    skip_batches = start_step % batches_per_epoch
     best_metric = float("-inf")
     val_ds = None
     val_kw = {}
@@ -245,6 +257,9 @@ def main():
             # DistributedGroupSampler semantics, group_sampler.py:14-110)
             order = np.random.default_rng(
                 args.seed + epoch).permutation(len(dataset))
+            if skip_batches:
+                order = order[skip_batches * batch_size:]
+                skip_batches = 0
             epoch += 1
             for batch in iterate_batches(dataset, batch_size,
                                          indices=order, drop_last=True):

@@ -155,14 +155,19 @@ def indoor_eval(gt_annos: Sequence[Dict],
             fp = np.zeros(len(dets))
             for di, (_, si, box) in enumerate(dets):
                 gt_boxes = gts_by_class[c].get(si, np.zeros((0, 7)))
+                # VOC semantics (reference indoor_eval.py:125-143): argmax
+                # over ALL GTs — a duplicate detection whose best GT is
+                # already matched counts FP; it must NOT greedily re-match
+                # a weaker second GT (that would inflate TP/AP).  The
+                # threshold test is strict (iou_max > thresh), matching
+                # the reference.
                 best_iou, best_gi = 0.0, -1
                 for gi in range(len(gt_boxes)):
-                    if gi in matched[si]:
-                        continue
                     iou = box3d_iou(box, gt_boxes[gi])
                     if iou > best_iou:
                         best_iou, best_gi = iou, gi
-                if best_iou >= thr and best_gi >= 0:
+                if best_gi >= 0 and best_iou > thr \
+                        and best_gi not in matched[si]:
                     tp[di] = 1
                     matched[si].add(best_gi)
                 else:

@@ -205,26 +205,26 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
 
     # -- cross-process merge --------------------------------------------
     def _gather_tuplelist(rows, n_fields):
-        if not rows and multihost.process_count() == 1:
-            return []
-        fields = []
-        for f in range(n_fields):
-            arr = (np.stack([r[f] for r in rows])
-                   if rows else None)
-            fields.append(arr)
         if multihost.process_count() == 1:
             return rows
-        # need concrete shapes even when this shard is empty: broadcast
-        # shapes are data-independent, so derive from any non-empty shard
-        # via a shape handshake is avoidable — shards are contiguous and
-        # only the LAST process can be short, so process 0 always has rows.
+        # a model without the detection branch (only_occ: dec is None,
+        # head emits all_cls_scores=None) appends rows on NO process —
+        # distinguish that legitimate globally-empty case from a
+        # wrongly-empty shard with a global count handshake
+        total = int(multihost.allreduce_sum(
+            np.asarray([len(rows)], np.int64))[0])
+        if total == 0:
+            return []
+        # need concrete shapes even when this shard is empty: shards are
+        # contiguous and only the LAST process can be short, so process 0
+        # always has rows when any process does.
         gathered = []
         for f in range(n_fields):
-            arr = fields[f]
-            if arr is None:
+            if not rows:
                 raise RuntimeError(
                     "empty non-final shard in sharded eval (n < processes?)"
                     " — run with shard=False or more data")
+            arr = np.stack([r[f] for r in rows])
             gathered.append(multihost.allgather_results(arr, per))
         return list(zip(*gathered))
 

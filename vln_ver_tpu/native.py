@@ -111,7 +111,11 @@ def confusion_hist(pred: np.ndarray, gt: np.ndarray,
     """(N,) pred/gt int -> (n_classes, n_classes) int64 histogram."""
     lib = _load()
     if lib is None:
-        k = (gt >= 0) & (gt < n_classes)
+        # bounds-check BOTH pred and gt, exactly like the native path
+        # (ver_host.cc ver_confusion_hist) — an out-of-range pred must be
+        # dropped, not spill into the next gt row / overflow the bincount
+        k = ((gt >= 0) & (gt < n_classes)
+             & (pred >= 0) & (pred < n_classes))
         return np.bincount(
             n_classes * gt[k].astype(np.int64) + pred[k],
             minlength=n_classes ** 2).reshape(n_classes, n_classes)

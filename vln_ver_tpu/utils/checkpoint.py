@@ -83,6 +83,11 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def restore_state(ckpt_dir: str, step: int, target):
+def restore_state(ckpt_dir: str, step: Optional[int], target):
+    if step is None:
+        # callers pass latest_step() straight in; an empty/missing ckpt
+        # dir must be a clear error, not a NoneType format crash
+        raise FileNotFoundError(
+            f"no completed checkpoint (step_NNNNNNNN) under {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
     return _checkpointer().restore(path, item=target)
