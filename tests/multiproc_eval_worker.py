@@ -49,8 +49,14 @@ def main():
     params = model.init(jax.random.PRNGKey(0), s["features"][None],
                         s["world2pixel"][None], s["origin_shift"][None])
     metrics = evaluate_model(model, params, ds, shard=True)
+    # limit=1 on 2 processes -> per=1 and process 1's shard is EMPTY:
+    # exercises the dtype/shape handshake that lets empty shards
+    # participate in the result allgather (a legal case with contiguous
+    # ceil-division shards; used to raise/deadlock)
+    limit1 = evaluate_model(model, params, ds, shard=True, limit=1)
     with open(out_json, "w") as f:
-        json.dump({k: float(v) for k, v in metrics.items()}, f)
+        json.dump({"full": {k: float(v) for k, v in metrics.items()},
+                   "limit1": {k: float(v) for k, v in limit1.items()}}, f)
     print(f"proc {jax.process_index()}/{jax.process_count()} ok")
 
 

@@ -54,6 +54,7 @@ def test_two_process_sharded_eval_matches_single_process(tmp_path):
     params = model.init(jax.random.PRNGKey(0), s["features"][None],
                         s["world2pixel"][None], s["origin_shift"][None])
     single = evaluate_model(model, params, ds, shard=False)
+    single_l1 = evaluate_model(model, params, ds, shard=False, limit=1)
 
     port = _free_port()
     procs, outs = [], []
@@ -77,8 +78,11 @@ def test_two_process_sharded_eval_matches_single_process(tmp_path):
 
     for out_json in outs:
         with open(out_json) as f:
-            sharded = json.load(f)
-        assert set(sharded) == set(single)
-        for k, v in single.items():
-            np.testing.assert_allclose(sharded[k], float(v), rtol=1e-6,
-                                       atol=1e-8, err_msg=k)
+            payload = json.load(f)
+        for sharded, ref in ((payload["full"], single),
+                             (payload["limit1"], single_l1)):
+            assert set(sharded) == set(ref)
+            for k, v in ref.items():
+                np.testing.assert_allclose(sharded[k], float(v),
+                                           rtol=1e-6, atol=1e-8,
+                                           err_msg=k)

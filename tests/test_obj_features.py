@@ -62,7 +62,7 @@ def test_extract_end_to_end(tmp_path):
     }}
     bbox_path.write_text(json.dumps(anno))
 
-    out = extract(str(bbox_path), str(feats_path), views=36)
+    out = extract(str(bbox_path), str(feats_path))
     assert token in out
     assert out[token]["ids"] == ["obj2", "obj7"]      # sorted, ghost absent
     feats = out[token]["feats"]

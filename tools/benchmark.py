@@ -1,7 +1,10 @@
 #!/usr/bin/env python
-"""FPS benchmark CLI — warmup + synced timing, mirroring the reference
-tools/analysis_tools/benchmark.py:69-94 (5-iter warmup, device-synced
-wall-clock, average samples/s).
+"""FPS benchmark CLI — the reference tools/analysis_tools/benchmark.py
+surface (:69-94), timed the remote-backend-honest way: iterations are
+scanned inside one jitted program and two scan lengths are differenced,
+min-of-3 fetches each (utils/bench.scan_diff_time) — the axon backend
+doesn't block in block_until_ready and a single-sample difference swings
+~20% through the tunnel RTT.
 
 Usage:
   python tools/benchmark.py [configs/verformer/vocc.py] [--num-cams N]

@@ -73,7 +73,7 @@ def view_key(scan: str, vp: str, ix: int, cam: int = 1,
     return f"{scan}_{vp}_i{cam}_{int(ix)}"
 
 
-def extract(bbox_path: str, feature_path: str, views: int = 36,
+def extract(bbox_path: str, feature_path: str,
             cam: int = 1, img_w: int = 640, img_h: int = 480,
             max_objects: int | None = None, mapping: str = "index"):
     import h5py
@@ -118,8 +118,9 @@ def main():
     p.add_argument("--features", required=True,
                    help="ViT patch-feature HDF5 (reference contract)")
     p.add_argument("--out", required=True, help="output pkl")
-    p.add_argument("--views", type=int, default=36)
-    p.add_argument("--cam", type=int, default=1)
+    p.add_argument("--cam", type=int, default=1,
+                   help="elevation index in the key (index mapping only; "
+                        "mattersim derives it from visible_pos//12)")
     p.add_argument("--view-mapping", choices=["index", "mattersim"],
                    default="index",
                    help="visible_pos -> HDF5 key (module docstring)")
@@ -128,7 +129,7 @@ def main():
     p.add_argument("--max-objects", type=int, default=None)
     args = p.parse_args()
 
-    out = extract(args.bbox, args.features, args.views, args.cam,
+    out = extract(args.bbox, args.features, args.cam,
                   args.img_w, args.img_h, args.max_objects,
                   mapping=args.view_mapping)
     with open(args.out, "wb") as f:

@@ -274,6 +274,12 @@ def serve(args) -> int:
                 batch_f.append(f); batch_w.append(w); batch_s.append(s)
                 ok.append(path)
             except Exception as e:
+                if not os.path.exists(path):
+                    # a peer's orphan sweep reclaimed it between our claim
+                    # and the keepalive's first touch (possible when the
+                    # inbox backlog exceeds max_age_s, since rename keeps
+                    # the client's mtime) — the peer serves it; no error
+                    continue
                 # a freshly-written file may be a non-atomic client's
                 # half-write — push it back once instead of erroring
                 try:
@@ -292,7 +298,10 @@ def serve(args) -> int:
                 with open(os.path.join(outbox, f"{rid}.error.txt"),
                           "w") as fh:
                     fh.write(repr(e))
-                os.remove(path)
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass  # swept by a peer after the exists() check
         if not ok:
             continue
 

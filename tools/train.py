@@ -243,11 +243,11 @@ def main():
     # seed) and the within-epoch position from the restored step, so a
     # preempted run doesn't replay epoch 0's batches (the reference's
     # mmcv resume restores the epoch counter the same way).  Exact
-    # because drop_last=True makes every epoch yield
-    # len(dataset)//batch_size batches.
-    batches_per_epoch = len(dataset) // batch_size
-    epoch = start_step // batches_per_epoch
-    skip_batches = start_step % batches_per_epoch
+    # because drop_last=True makes every epoch yield exactly
+    # steps_per_epoch batches (the dataset-size guard above rules out
+    # the max(..., 1) clamp ever applying).
+    epoch = start_step // steps_per_epoch
+    skip_batches = start_step % steps_per_epoch
     best_metric = float("-inf")
     val_ds = None
     val_kw = {}

@@ -207,24 +207,37 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
     def _gather_tuplelist(rows, n_fields):
         if multihost.process_count() == 1:
             return rows
-        # a model without the detection branch (only_occ: dec is None,
-        # head emits all_cls_scores=None) appends rows on NO process —
-        # distinguish that legitimate globally-empty case from a
-        # wrongly-empty shard with a global count handshake
+        # Empty shards are legitimate and must still participate in every
+        # collective below (raising on one process while peers enter
+        # process_allgather deadlocks the eval):
+        #   - a model without the detection branch (only_occ: dec is
+        #     None) appends rows on NO process -> gather to [];
+        #   - ceil-division contiguous shards leave TRAILING processes
+        #     empty whenever n < per * processes (e.g. 9 samples on 8
+        #     processes) -> those contribute typed (0, ...) arrays, with
+        #     the field dtype/shape handshaken from a non-empty process
+        #     (process 0 always has rows when any process does).
+        from jax.experimental import multihost_utils
         total = int(multihost.allreduce_sum(
             np.asarray([len(rows)], np.int64))[0])
         if total == 0:
             return []
-        # need concrete shapes even when this shard is empty: shards are
-        # contiguous and only the LAST process can be short, so process 0
-        # always has rows when any process does.
+        dtype_by_num = {np.dtype(t).num: np.dtype(t)
+                        for t in ("float32", "float64", "int32", "int64",
+                                  "bool", "uint8", "float16")}
         gathered = []
         for f in range(n_fields):
-            if not rows:
-                raise RuntimeError(
-                    "empty non-final shard in sharded eval (n < processes?)"
-                    " — run with shard=False or more data")
-            arr = np.stack([r[f] for r in rows])
+            arr = np.stack([r[f] for r in rows]) if rows else None
+            meta = np.full(10, -1, np.int64)
+            if arr is not None:
+                meta[0] = arr.dtype.num
+                meta[1] = arr.ndim - 1
+                meta[2:1 + arr.ndim] = arr.shape[1:]
+            metas = np.asarray(multihost_utils.process_allgather(meta))
+            if arr is None:
+                m = metas[metas[:, 1] >= 0][0]
+                shape = tuple(int(x) for x in m[2:2 + int(m[1])])
+                arr = np.zeros((0,) + shape, dtype_by_num[int(m[0])])
             gathered.append(multihost.allgather_results(arr, per))
         return list(zip(*gathered))
 
