@@ -224,3 +224,81 @@ def test_tsa2d_batch_matches_per_sample():
                         ref_cur[b:b + 1], ref_prev[b:b + 1], shapes)
         np.testing.assert_allclose(np.asarray(both[b]),
                                    np.asarray(one[0]), atol=1e-5)
+
+
+def test_tsa2d_matches_torch_reference_transcription():
+    """TSA-2D vs a torch transcription of the upstream forward
+    (temporal_self_attention.py:179-271 + the encoder's once-stacked
+    [prev, frame-initial] value), sharing weights."""
+    import torch
+
+    from tests.test_deform_attn import torch_msda_2d
+
+    H, W = 3, 4
+    nq, C, heads, P = H * W, 16, 4, 2
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((1, nq, C)).astype(np.float32)
+    prev = rng.standard_normal((1, nq, C)).astype(np.float32)
+    frame = rng.standard_normal((1, nq, C)).astype(np.float32)
+    pos = rng.standard_normal((1, nq, C)).astype(np.float32)
+    refs = rng.uniform(0.1, 0.9, (1, nq, 1, 2)).astype(np.float32)
+    refs_prev = (refs + rng.normal(0, 0.05, refs.shape)).astype(np.float32)
+
+    tsa = TemporalSelfAttention2D(embed_dims=C, num_heads=heads,
+                                  num_points=P)
+    shapes = ((H, W),)
+    kw = dict(query_pos=jnp.asarray(pos), frame_query=jnp.asarray(frame))
+    params = tsa.init(jax.random.PRNGKey(0), jnp.asarray(q),
+                      jnp.asarray(prev), jnp.asarray(refs),
+                      jnp.asarray(refs_prev), shapes, **kw)
+    p = params["params"]
+
+    def lin(x, name):
+        k = torch.from_numpy(np.asarray(p[name]["kernel"]))
+        b = torch.from_numpy(np.asarray(p[name]["bias"]))
+        return x @ k + b
+
+    def torch_tsa(tq, value, href):
+        bs, queue = 1, 2
+        query = tq + torch.from_numpy(pos)
+        qcat = torch.cat([value[:bs], query], -1)
+        v = lin(value, "value_proj").reshape(bs * 2, nq, heads, C // heads)
+        off = lin(qcat, "sampling_offsets").view(
+            bs, nq, heads, queue, 1, P, 2)
+        att = lin(qcat, "attention_weights").view(
+            bs, nq, heads, queue, 1 * P).softmax(-1).view(
+            bs, nq, heads, queue, 1, P)
+        att = att.permute(0, 3, 1, 2, 4, 5).reshape(bs * 2, nq, heads, 1, P)
+        off = off.permute(0, 3, 1, 2, 4, 5, 6).reshape(
+            bs * 2, nq, heads, 1, P, 2)
+        norm = torch.tensor([[W, H]], dtype=torch.float32)
+        locs = (href[:, :, None, :, None, :]
+                + off / norm[None, None, None, :, None, :])
+        out = torch_msda_2d(v, [(H, W)], locs, att)
+        out = out.reshape(bs, queue, nq, C).mean(1)
+        return lin(out, "output_proj") + tq
+
+    tq = torch.from_numpy(q)
+    trefs = torch.from_numpy(refs)
+
+    out_j = tsa.apply(params, jnp.asarray(q), jnp.asarray(prev),
+                      jnp.asarray(refs), jnp.asarray(refs_prev), shapes,
+                      **kw)
+    value = torch.stack([torch.from_numpy(prev),
+                         torch.from_numpy(frame)], 1).reshape(2, nq, C)
+    href = torch.stack([torch.from_numpy(refs_prev), trefs],
+                       1).reshape(2, nq, 1, 2)
+    with torch.no_grad():
+        out_t = torch_tsa(tq, value, href)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=1e-5, atol=1e-5)
+
+    # prev None: both slots the pos-less query, both ref slots current
+    out_j0 = tsa.apply(params, jnp.asarray(q), None, jnp.asarray(refs),
+                       jnp.asarray(refs_prev), shapes, **kw)
+    value0 = torch.stack([tq, tq], 1).reshape(2, nq, C)
+    href0 = torch.stack([trefs, trefs], 1).reshape(2, nq, 1, 2)
+    with torch.no_grad():
+        out_t0 = torch_tsa(tq, value0, href0)
+    np.testing.assert_allclose(np.asarray(out_j0), out_t0.numpy(),
+                               rtol=1e-5, atol=1e-5)

@@ -130,3 +130,40 @@ def test_sane_layout_matches_reference_everywhere_but_occ(converted):
     # occupancy head still runs (different, sane layout)
     assert outs_j["occupancy_preds"].shape == \
         outs_t["occupancy_preds"].shape
+
+
+def test_equal_z_refine_matches_reference():
+    """bev_z == occ_zdim with refine_occ: the reference's equal-z refine
+    path projects the 5D upsampled volume DIRECTLY (head:567-568 — no
+    z-fusing) and flattens z-major over the (occ_x, occ_y) scramble
+    (head:578-580); a converted checkpoint with this geometry must
+    reproduce the reference occupancy exactly."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, occupancy_size=(0.6, 0.6, 1.75))
+    assert cfg.occ_zdim == cfg.bev_z
+
+    torch.manual_seed(1)
+    oracle = OracleVoxelFormer(cfg)
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params, _ = convert_state_dict(sd, cfg)
+
+    feats, w2p, shift = _inputs(batch=1, seed=5)
+    outs_t = oracle(
+        torch.from_numpy(feats[0].reshape(
+            cfg.num_cams, 1, cfg.feat_h * cfg.feat_w, cfg.in_channels)),
+        torch.from_numpy(w2p), torch.from_numpy(shift))
+
+    model = VoxelFormer(cfg)
+    outs_j = model.apply({"params": params}, jnp.asarray(feats),
+                         jnp.asarray(w2p), jnp.asarray(shift),
+                         deterministic=True)
+    # atol 5e-4: this geometry routes more signal through the upsampler
+    # convs (XLA vs torch accumulate in different orders — measured max
+    # 2.5e-4, mean 5e-5, NO structural outliers); a layout/scramble bug
+    # produces O(1) errors
+    np.testing.assert_allclose(np.asarray(outs_j["occupancy_preds"]),
+                               outs_t["occupancy_preds"].numpy(),
+                               rtol=1e-3, atol=5e-4)

@@ -179,3 +179,18 @@ def test_upsampler_matches_conv_transpose():
     our_out = ours.apply(p2, x)
     np.testing.assert_allclose(np.asarray(our_out), np.asarray(ref_out),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_forward_only_det_suppresses_layout():
+    """The reference's `elif self.only_det:` branch wins over add_layout
+    and returns all_layout_preds=None (head:372-434)."""
+    import dataclasses
+    cfg = dataclasses.replace(TINY, only_det=True, add_layout=True,
+                              refine_occ=False)
+    model = VoxelFormer(cfg)
+    batch = _tiny_batch(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0), *batch)
+    outs = model.apply(params, *batch)
+    assert outs["all_layout_preds"] is None
+    assert outs["occupancy_preds"] is None
+    assert outs["all_cls_scores"].shape[0] == cfg.decoder_layers

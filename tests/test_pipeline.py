@@ -120,13 +120,13 @@ def test_pipeline_on_voxel_encoder_layer():
     for i in range(L):
         v = layer.init(jax.random.PRNGKey(10 + i), query0, value,
                        ref_cam, bev_mask, spatial_shapes,
-                       None, None, None, True)
+                       deterministic=True)
         trees.append(v["params"])
     stacked = stack_layer_params(trees)
 
     def layer_fn(p, h, value, ref_cam, bev_mask):
         return layer.apply({"params": p}, h, value, ref_cam, bev_mask,
-                           spatial_shapes, None, None, None, True)
+                           spatial_shapes, deterministic=True)
 
     ref = sequential_apply(layer_fn, stacked, query0, value, ref_cam,
                            bev_mask)

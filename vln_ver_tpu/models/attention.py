@@ -292,8 +292,13 @@ class VoxelDeformableAttention3D(nn.Module):
 
 
 class MultiheadAttention(nn.Module):
-    """Standard MHA with residual, matching mmcv's wrapper semantics
-    (attention-prob dropout, residual add)."""
+    """Standard MHA with residual, matching mmcv's wrapper semantics.
+
+    mmcv's deprecated ``dropout=0.1`` kwarg (vocc.py:149) sets BOTH the
+    attention-prob dropout and the output ``dropout_layer`` applied
+    before the residual add (``identity + dropout_layer(proj_drop(out))``
+    in mmcv MultiheadAttention.forward), so both are applied here;
+    proj_drop stays at its 0 default."""
     embed_dims: int = 768
     num_heads: int = 8
     dropout_rate: float = 0.1
@@ -316,4 +321,6 @@ class MultiheadAttention(nn.Module):
             out_features=self.embed_dims, dropout_rate=self.dropout_rate,
             dtype=self.dtype, name="attn")(
                 query, key, value, deterministic=deterministic)
+        out = nn.Dropout(self.dropout_rate)(out,
+                                            deterministic=deterministic)
         return out + identity

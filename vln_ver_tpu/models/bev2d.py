@@ -138,18 +138,35 @@ class TemporalSelfAttention2D(nn.Module):
                  ref_current: jnp.ndarray, ref_prev: jnp.ndarray,
                  spatial_shapes: Sequence[Tuple[int, int]],
                  query_pos: Optional[jnp.ndarray] = None,
+                 frame_query: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
         """query (B, nq, C); ref_* (B, nq, L, 2) normalised BEV coords —
         ``ref_prev`` carries the ego-motion shift for the history slot
-        (the encoder's shift_ref_2d)."""
+        (the encoder's shift_ref_2d).
+
+        Reference value semantics (same as the 3D TSA): values are built
+        BEFORE the query_pos add (temporal_self_attention.py:179-186);
+        with prev_bev the 'current' slot is the FRAME-INITIAL bev grid
+        stacked once before the layer loop (the upstream encoder's
+        ``torch.stack([prev_bev, bev_query], 1)``), passed as
+        ``frame_query``; without prev_bev both slots are the layer's
+        pos-less query and BOTH ref slots are unshifted (the upstream
+        ``[ref_2d, ref_2d]`` else-branch)."""
         bsz, nq, c = query.shape
         queue = self.num_bev_queue
         assert queue == 2
         identity = query
+        raw = query
         if query_pos is not None:
             query = query + query_pos
-        prev = prev_bev if prev_bev is not None else query
-        value = jnp.stack([prev, query], axis=1).reshape(bsz * queue, nq, c)
+        if prev_bev is not None:
+            prev = prev_bev
+            cur = frame_query if frame_query is not None else raw
+            ref0 = ref_prev
+        else:
+            prev = cur = raw
+            ref0 = ref_current
+        value = jnp.stack([prev, cur], axis=1).reshape(bsz * queue, nq, c)
         q_cat = jnp.concatenate([prev, query], axis=-1)
 
         hd = self.embed_dims // self.num_heads
@@ -195,7 +212,7 @@ class TemporalSelfAttention2D(nn.Module):
         # fold queue into batch BATCH-MAJOR (row = b*queue + slot), matching
         # the value/offset folding above — a slot-major concatenate would
         # pair sample b's value rows with sample (b*2 mod B)'s references
-        ref = jnp.stack([ref_prev, ref_current], axis=1).reshape(
+        ref = jnp.stack([ref0, ref_current], axis=1).reshape(
             bsz * queue, nq, -1, 2)
         locations = (ref[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
@@ -218,7 +235,8 @@ class BEV2DEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, query, value, reference_points_cam, bev_mask,
                  spatial_shapes, prev_bev, ref_current, ref_prev,
-                 bev_pos=None, deterministic: bool = True):
+                 bev_pos=None, frame_query=None,
+                 deterministic: bool = True):
         cfg = self.cfg
         query = TemporalSelfAttention2D(
             embed_dims=cfg.embed_dims, num_heads=cfg.num_heads,
@@ -227,7 +245,7 @@ class BEV2DEncoderLayer(nn.Module):
             name="temporal_self_attn")(
                 query, prev_bev, ref_current, ref_prev,
                 ((cfg.bev_h, cfg.bev_w),), query_pos=bev_pos,
-                deterministic=deterministic)
+                frame_query=frame_query, deterministic=deterministic)
         query = nn.LayerNorm(dtype=cfg.dtype, name="norm1")(query)
         query = SpatialCrossAttention(
             embed_dims=cfg.embed_dims, num_heads=cfg.num_heads,
@@ -277,11 +295,15 @@ class BEVFormerEncoder2D(nn.Module):
         ref_prev = ref_current + shift[:, None, None, :]
 
         spatial_shapes = ((cfg.feat_h, cfg.feat_w),)
+        # the upstream encoder stacks [prev_bev, bev_query] ONCE before
+        # the layer loop: every layer's TSA 'current' value slot is the
+        # frame-initial grid
+        frame_query = bev_query
         for i in range(cfg.encoder_layers):
             bev_query = BEV2DEncoderLayer(cfg, name=f"layer_{i}")(
                 bev_query, value, ref_cam, bev_mask, spatial_shapes,
                 prev_bev, ref_current, ref_prev, bev_pos=bev_pos,
-                deterministic=deterministic)
+                frame_query=frame_query, deterministic=deterministic)
         return bev_query
 
 

@@ -21,10 +21,6 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from typing import Optional
-
-import jax.numpy as _jnp  # noqa: F401
-
 from .. import geometry
 from .attention import SpatialCrossAttention
 from .config import VERConfig
@@ -59,6 +55,7 @@ class VoxelEncoderLayer(nn.Module):
     def __call__(self, query, value, reference_points_cam, bev_mask,
                  spatial_shapes: Sequence[Tuple[int, int]],
                  prev_bev=None, ref_2d=None, bev_pos=None,
+                 frame_query=None, shift=None,
                  deterministic: bool = True):
         cfg = self.cfg
         if cfg.use_temporal_self_attn:
@@ -71,7 +68,8 @@ class VoxelEncoderLayer(nn.Module):
                 name="temporal_self_attn")(
                     query, prev_bev, ref_2d,
                     ((cfg.bev_z, cfg.bev_h, cfg.bev_w),),
-                    query_pos=bev_pos, deterministic=deterministic)
+                    query_pos=bev_pos, frame_query=frame_query,
+                    shift=shift, deterministic=deterministic)
             query = nn.LayerNorm(dtype=cfg.dtype, name="norm0")(query)
         query = SpatialCrossAttention(
             embed_dims=cfg.embed_dims, num_heads=cfg.num_heads,
@@ -95,25 +93,30 @@ class VoxelEncoder(nn.Module):
     @nn.compact
     def __call__(self, bev_query, value, reference_points_cam, bev_mask,
                  spatial_shapes: Sequence[Tuple[int, int]],
-                 prev_bev=None, bev_pos=None,
+                 prev_bev=None, bev_pos=None, shift=None,
                  deterministic: bool = True):
         cfg = self.cfg
         ref_2d = None
+        frame_query = None
         if cfg.use_temporal_self_attn:
             # normalised voxel centres as the TSA reference points
             # (the '2d' branch of get_reference_points,
             # voxel_encoder.py:85-115)
             ref_2d = geometry.voxel_reference_points(
                 cfg.bev_z, cfg.bev_h, cfg.bev_w)[None, :, None, :]
-            ref_2d = _jnp.broadcast_to(
+            ref_2d = jnp.broadcast_to(
                 ref_2d, (bev_query.shape[0],) + ref_2d.shape[1:])
+            # the reference stacks [prev_bev, bev_query] ONCE before the
+            # layer loop (voxel_encoder.py:261-263): every layer's TSA
+            # 'current' value slot is the FRAME-INITIAL grid
+            frame_query = bev_query
         # nn.remat counts `self` as arg 0: spatial_shapes (5) and
-        # deterministic (9) are hashable statics
-        layer_cls = (nn.remat(VoxelEncoderLayer, static_argnums=(5, 9))
+        # deterministic (11) are hashable statics
+        layer_cls = (nn.remat(VoxelEncoderLayer, static_argnums=(5, 11))
                      if cfg.remat_encoder else VoxelEncoderLayer)
         for i in range(cfg.encoder_layers):
             bev_query = layer_cls(cfg, name=f"layer_{i}")(
                 bev_query, value, reference_points_cam, bev_mask,
                 tuple(tuple(s) for s in spatial_shapes), prev_bev,
-                ref_2d, bev_pos, deterministic)
+                ref_2d, bev_pos, frame_query, shift, deterministic)
         return bev_query

@@ -23,7 +23,6 @@ Occupancy flat ordering everywhere: ``z * (ydim * xdim) + y * xdim + x``.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -259,11 +258,18 @@ class VoxelFormerOccupancyHead(nn.Module):
                 # stages (head:254-258) — derive from the grids so tiny test
                 # configs work too
                 ratio = cfg.occ_xdim // cfg.bev_w
-                stages = max(int(round(math.log2(ratio))), 0)
-                if (cfg.bev_w * 2 ** stages != cfg.occ_xdim
+                stages = (max(int(round(math.log2(ratio))), 0)
+                          if ratio >= 1 else 0)
+                if (stages == 0
+                        or cfg.bev_w * 2 ** stages != cfg.occ_xdim
                         or cfg.bev_h * 2 ** stages != cfg.occ_ydim):
+                    # stages == 0 covers both occ <= bev (would otherwise
+                    # die in math.log2) and occ == bev (an empty upsampler
+                    # the reference cannot express — its up_sample is a
+                    # fixed 3-stage stack)
                     raise ValueError(
-                        "refine_occ requires occ_(x|y)dim = bev_(w|h) * 2^k"
+                        "refine_occ requires occ_(x|y)dim = bev_(w|h) * "
+                        "2^k with k >= 1"
                         f" (got bev {cfg.bev_h}x{cfg.bev_w}, occ "
                         f"{cfg.occ_ydim}x{cfg.occ_xdim})")
                 self.up_sample = OccUpsampler(
@@ -356,12 +362,19 @@ class VoxelFormerOccupancyHead(nn.Module):
         u = u.transpose(0, 4, 1, 2, 3)  # back to the reference's NCDHW
         # scramble 2: flat conv output reinterpreted as (Z, occ_x, occ_y, C)
         v = u.reshape(b, z, cfg.occ_xdim, cfg.occ_ydim, c)
-        v = v.transpose(0, 2, 3, 1, 4).reshape(
-            b, cfg.occ_xdim, cfg.occ_ydim, z * c)
-        occ = self.occ_proj(v)
-        occ = occ.reshape(b, cfg.occ_xdim, cfg.occ_ydim, cfg.occ_zdim,
-                          cfg.occ_dims)
-        occ = occ.transpose(0, 3, 1, 2, 4).reshape(b, -1, cfg.occ_dims)
+        if cfg.bev_z == cfg.occ_zdim:
+            # the reference's equal-z refine path projects the 5D volume
+            # directly (head:567-568) — no z-fusing; flat order is then
+            # z-major over the (occ_x, occ_y) scramble (head:578-580)
+            occ = self.occ_proj(v)  # (B, Z, occ_x, occ_y, occ_dims)
+            occ = occ.reshape(b, -1, cfg.occ_dims)
+        else:
+            v = v.transpose(0, 2, 3, 1, 4).reshape(
+                b, cfg.occ_xdim, cfg.occ_ydim, z * c)
+            occ = self.occ_proj(v)
+            occ = occ.reshape(b, cfg.occ_xdim, cfg.occ_ydim, cfg.occ_zdim,
+                              cfg.occ_dims)
+            occ = occ.transpose(0, 3, 1, 2, 4).reshape(b, -1, cfg.occ_dims)
         return self.occ_branches(occ)
 
     def _decode_coords(self, raw_preds, refs_before, value_range):
@@ -436,7 +449,9 @@ class VoxelFormerOccupancyHead(nn.Module):
                                              cfg.pc_range)
 
         all_layout_preds = None
-        if cfg.add_layout:
+        # the reference's `elif self.only_det:` branch takes precedence
+        # over add_layout and returns all_layout_preds=None (head:372-434)
+        if cfg.add_layout and not cfg.only_det:
             raw_layout = jnp.stack([
                 self.layout_branches[l](hs[l])
                 for l in range(cfg.decoder_layers)

@@ -46,18 +46,46 @@ class VoxelTemporalSelfAttention(nn.Module):
                  reference_points: jnp.ndarray,
                  spatial_shapes: Sequence[Tuple[int, int, int]],
                  query_pos: Optional[jnp.ndarray] = None,
+                 frame_query: Optional[jnp.ndarray] = None,
+                 shift: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
-        """query (B, nq, C); prev_bev (B, nq, C) or None (-> use query);
-        reference_points (B, nq, num_levels, 3) normalised voxel centres."""
+        """query (B, nq, C); prev_bev (B, nq, C) or None;
+        reference_points (B, nq, num_levels, 3) normalised voxel centres;
+        frame_query: the FRAME-INITIAL voxel grid (see below);
+        shift (B, 3): normalised ego-motion of the prev frame's grid.
+
+        Value-slot semantics match the reference exactly:
+        - values NEVER include query_pos — the reference builds them
+          before the pos add (voxel_temporal_self_attention.py:177-187);
+        - with prev_bev, the 'current' slot is the frame-initial
+          bev_query stacked ONCE before the encoder's layer loop
+          (voxel_encoder.py:261-263), not the per-layer evolving query —
+          passed here as ``frame_query``; without prev_bev both slots
+          are the layer's incoming (pos-less) query;
+        - slot-0 reference points are shifted by ``shift`` only when
+          prev_bev is given (voxel_encoder.py:252-269's hybird refs).
+        The offset/weight conditioning concatenates [prev-slot value,
+        pos-added query] PER SAMPLE — the reference's ``value[:bs]``
+        (":197") interleaves (batch, slot) rows and only selects each
+        sample's prev slot at bs=1, its tested regime; this is the
+        correct batched generalisation of that intent."""
         bsz, nq, c = query.shape
         queue = self.num_bev_queue
         assert queue == 2
         identity = query
+        raw = query  # pos-less: the value/source grid
         if query_pos is not None:
             query = query + query_pos
-        prev = prev_bev if prev_bev is not None else query
-        # (B*queue, nq, C): slot 0 = prev, slot 1 = current
-        value = jnp.stack([prev, query], axis=1).reshape(
+        if prev_bev is not None:
+            prev = prev_bev
+            cur = frame_query if frame_query is not None else raw
+            ref_prev = (reference_points if shift is None
+                        else reference_points + shift[:, None, None, :])
+        else:
+            prev = cur = raw
+            ref_prev = reference_points
+        # (B*queue, nq, C): slot 0 = prev, slot 1 = current, (b, slot) rows
+        value = jnp.stack([prev, cur], axis=1).reshape(
             bsz * queue, nq, c)
 
         q_cat = jnp.concatenate([prev, query], axis=-1)  # (B, nq, 2C)
@@ -104,10 +132,9 @@ class VoxelTemporalSelfAttention(nn.Module):
         normalizer = jnp.asarray(
             [[w, h, d] for (d, h, w) in spatial_shapes], jnp.float32)
         # batch-major queue fold (row = b*queue + slot), matching the
-        # value/offset folding — both slots share the same refs here, but
-        # the ordering must pair each sample with its own references
-        ref = jnp.stack([reference_points, reference_points],
-                        axis=1).reshape(
+        # value/offset folding: slot 0 samples the prev grid at the
+        # ego-shifted refs, slot 1 the current grid at the plain refs
+        ref = jnp.stack([ref_prev, reference_points], axis=1).reshape(
             bsz * queue, nq, reference_points.shape[2], 3)
         locations = (ref[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
