@@ -302,3 +302,25 @@ def test_tsa2d_matches_torch_reference_transcription():
         out_t0 = torch_tsa(tq, value0, href0)
     np.testing.assert_allclose(np.asarray(out_j0), out_t0.numpy(),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_nuscenes_adapter_emits_gravity_boxes(tmp_path):
+    """The adapter converts raw z_bottom boxes to gravity-centre cz (the
+    training objective's contract; head:1167-1179 cat(gravity_center,
+    dims)) — feeding raw boxes trained every z target low by h/2."""
+    from vln_ver_tpu.data.nuscenes import (NuScenesAdapter,
+                                           make_synthetic_nuscenes)
+    cfg = TINY
+    ann = make_synthetic_nuscenes(
+        str(tmp_path), num_scenes=1, samples_per_scene=2,
+        num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
+        feat_dim=cfg.in_channels)
+    ds = NuScenesAdapter(ann, str(tmp_path), num_cams=cfg.num_cams,
+                         feat_hw=cfg.feat_h, max_gt=8)
+    raw = np.asarray(ds.infos[0]["gt_boxes"], np.float32)
+    n = min(len(raw), 8)
+    assert n > 0
+    s = ds[0]
+    np.testing.assert_allclose(s["gt_boxes"][:n, 2],
+                               raw[:n, 2] + raw[:n, 5] * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(s["gt_boxes"][:n, :2], raw[:n, :2])

@@ -141,3 +141,19 @@ def test_full_product_path_train_test_getocc_vln(tmp_path):
         env.step(state, env.teacher_action(state))
     m = env.metrics(state)
     assert m["success"] == 1.0
+
+
+def test_collate_rejects_inconsistent_keys():
+    """A batch mixing samples with and without a key must fail with a
+    clear error (np.stack KeyError / silent mask-drop regression)."""
+    import numpy as np
+    import pytest
+
+    from vln_ver_tpu.data.mp3d import collate
+    a = {"token": "t0", "features": np.zeros((1, 2, 2, 3), np.float32),
+         "occ_visible": np.ones(4, np.uint8)}
+    b = {"token": "t1", "features": np.zeros((1, 2, 2, 3), np.float32)}
+    with pytest.raises(ValueError, match="occ_visible"):
+        collate([a, b])
+    with pytest.raises(ValueError, match="occ_visible"):
+        collate([b, a])

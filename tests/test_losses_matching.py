@@ -86,14 +86,41 @@ def test_hungarian_host_matches_scipy():
 def test_hungarian_auction_total_cost_optimal():
     for seed in range(5):
         cost = _random_cost(30, 8, seed, n_pad=4)
+        # pad like train/objective._match_layer: just above the real max
+        # (a BIG_COST pad inflates the auction's spread-scaled eps ~1e5x
+        # and silently destroys real-column optimality — and makes any
+        # total-cost tolerance proportional to `exact` vacuous)
+        cost[:, 8:] = cost[:, :8].max() + 1.0
         got = np.asarray(matching.hungarian_auction(jnp.asarray(cost)))
         assert (got >= 0).all()
         assert len(np.unique(got)) == len(got)  # one-to-one
         rows, cols = linear_sum_assignment(cost)
         exact = cost[rows, cols].sum()
         ours = cost[got, np.arange(len(got))].sum()
-        # auction is eps-optimal
-        assert ours <= exact + 1e-2 * abs(exact) + 1e-3, (ours, exact)
+        # auction is eps-optimal; compare with an ABSOLUTE tolerance
+        assert ours <= exact + 0.05, (ours, exact)
+
+
+def test_hungarian_auction_contested_gts_near_real_pad():
+    """Regression: GTs that all prefer the same few queries must still
+    match (eps-)optimally in the presence of padded columns.  With the
+    old BIG_COST padding the spread-scaled eps (~3e3) made the auction
+    misassign most contested GTs (real-cost excess ~0.3-0.5/sample)."""
+    rng = np.random.default_rng(0)
+    nq, ng, n_pad = 100, 4, 28
+    base = rng.uniform(5.0, 6.0, (nq, ng)).astype(np.float32)
+    # all four GTs strongly prefer queries 0..3, with distinct margins
+    for g in range(ng):
+        base[:ng, g] = 1.0 + 0.01 * np.arange(ng) + 0.1 * g
+    cost = np.concatenate(
+        [base, np.full((nq, n_pad), base.max() + 1.0, np.float32)], axis=1)
+    got = np.asarray(matching.hungarian_auction(jnp.asarray(cost)))
+    rows, cols = linear_sum_assignment(cost)
+    exp = np.full(cost.shape[1], -1, np.int32)
+    exp[cols] = rows
+    real_exact = cost[exp[:ng], np.arange(ng)].sum()
+    real_ours = cost[got[:ng], np.arange(ng)].sum()
+    assert real_ours <= real_exact + 0.05, (real_ours, real_exact)
 
 
 def test_build_detr_targets():

@@ -236,3 +236,44 @@ def test_train_step_tensor_parallel_matches_replicated():
     n_sharded = sum(int(np.prod(x.shape)) for x in leaves
                     if param_pspec(x, 4, min_size=128) != P())
     assert n_sharded / sum(int(np.prod(x.shape)) for x in leaves) > 0.3
+
+
+def test_lr_schedule_matches_mmcv_semantics():
+    """make_lr_schedule vs a direct transcription of mmcv's
+    CosineAnnealingLrUpdaterHook (+LrUpdaterHook.get_warmup_lr, 'linear'):
+    cosine progress spans ALL total_steps (epoch-granular under
+    by_epoch=True), and warmup multiplies the CURRENT annealed lr."""
+    import numpy as np
+
+    from vln_ver_tpu.train.state import TrainConfig, make_lr_schedule
+
+    base, min_ratio, wratio = 1e-4, 1e-3, 1.0 / 3.0
+    spe, epochs, warm_ep = 50, 20, 3
+    tc = TrainConfig(learning_rate=base, warmup_steps=warm_ep * spe,
+                     total_steps=epochs * spe, warmup_ratio=wratio,
+                     min_lr_ratio=min_ratio, steps_per_epoch=spe)
+    sched = make_lr_schedule(tc)
+
+    def mmcv_lr(it):
+        # CosineAnnealingLrUpdaterHook.get_lr with by_epoch=True
+        progress, max_progress = it // spe, epochs
+        target = base * min_ratio
+        cos_out = np.cos(np.pi * (progress / max_progress)) + 1
+        regular = target + 0.5 * (base - target) * cos_out
+        if it < tc.warmup_steps:      # get_warmup_lr('linear')
+            k = (1 - it / tc.warmup_steps) * (1 - wratio)
+            return (1 - k) * regular
+        return regular
+
+    for it in [0, 1, 25, 49, 50, 149, 150, 151, 500, 999]:
+        # rtol 1e-5: the schedule evaluates in fp32
+        np.testing.assert_allclose(float(sched(it)), mmcv_lr(it),
+                                   rtol=1e-5, err_msg=f"iter {it}")
+    # smooth per-iter variant (by_epoch=False): progress uses the iter
+    tc2 = TrainConfig(learning_rate=base, warmup_steps=0,
+                      total_steps=1000, min_lr_ratio=min_ratio,
+                      steps_per_epoch=0)
+    s2 = make_lr_schedule(tc2)
+    exp = base * min_ratio + 0.5 * (base - base * min_ratio) * (
+        np.cos(np.pi * 0.5) + 1)
+    np.testing.assert_allclose(float(s2(500)), exp, rtol=1e-6)

@@ -39,9 +39,18 @@ class Config(dict):
 def _merge(base: Dict, override: Dict) -> Dict:
     out = dict(base)
     for k, v in override.items():
-        if (k in out and isinstance(out[k], dict) and isinstance(v, dict)
-                and not v.pop("_delete_", False)):
-            out[k] = _merge(out[k], v)
+        if isinstance(v, dict):
+            # consume _delete_ ALWAYS (mmcv Config semantics) and never
+            # mutate the caller's override dict; the old short-circuit
+            # (`k in out and ... and not v.pop(...)`) leaked a literal
+            # `_delete_: True` key into the merged config whenever the
+            # base lacked the key or held a non-dict there
+            v = dict(v)
+            delete = bool(v.pop("_delete_", False))
+            if k in out and isinstance(out[k], dict) and not delete:
+                out[k] = _merge(out[k], v)
+            else:
+                out[k] = v
         else:
             out[k] = v
     return out
@@ -236,6 +245,9 @@ def build_train_config(cfg: Config, steps_per_epoch: int,
         warmup_ratio=lr_cfg.get("warmup_ratio", 1.0 / 3.0),
         min_lr_ratio=lr_cfg.get("min_lr_ratio", 1e-3),
         grad_clip_norm=float(grad),
+        # mmcv lr hooks default to by_epoch=True: epoch-granular anneal
+        steps_per_epoch=(int(steps_per_epoch)
+                         if lr_cfg.get("by_epoch", True) else 0),
     )
     kwargs.update(overrides)
     return TrainConfig(**kwargs)

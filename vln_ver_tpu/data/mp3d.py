@@ -32,10 +32,16 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..boxes import gravity_boxes_from_raw
-from ..occupancy import dense_from_sparse_np
 
-import jax.numpy as jnp  # noqa: E402
+def _gravity_np(raw: np.ndarray) -> np.ndarray:
+    """(N, 7) raw (cx, cy, z_bottom, w, l, h, yaw) -> (N, 9) gravity boxes
+    with zero velocity — the numpy twin of boxes.gravity_boxes_from_raw
+    (head:1311-1317), kept host-side so the dataloader never touches the
+    device (a jnp call here dispatches to the remote backend)."""
+    out = np.zeros((raw.shape[0], 9), np.float32)
+    out[:, :7] = raw[:, :7]
+    out[:, 2] = raw[:, 2] + raw[:, 5] * 0.5
+    return out
 
 
 DEFAULT_CLASSES = (
@@ -151,16 +157,17 @@ class MP3DDataset:
             labels = np.zeros((self.max_gt,), np.int32)
             valid = np.zeros((self.max_gt,), bool)
             if n:
-                boxes[:n] = np.asarray(
-                    gravity_boxes_from_raw(jnp.asarray(raw[:n])))
+                # numpy on purpose: a jnp round-trip here costs two
+                # device dispatches per sample inside the prefetch
+                # thread (tens of ms each on the remote backend)
+                boxes[:n] = _gravity_np(raw[:n])
                 labels[:n] = np.asarray(info["labels"][:n], np.int32)
                 valid[:n] = True
             sample.update(gt_boxes=boxes, gt_labels=labels, gt_valid=valid)
             if info.get("layout") is not None:
                 lay_raw = np.asarray(info["layout"],
                                      np.float32).reshape(1, 7)
-                sample["gt_layout"] = np.asarray(
-                    gravity_boxes_from_raw(jnp.asarray(lay_raw)))
+                sample["gt_layout"] = _gravity_np(lay_raw)
                 sample["layout_valid"] = np.ones((1,), bool)
             else:
                 sample["gt_layout"] = np.zeros((1, 9), np.float32)
@@ -170,13 +177,16 @@ class MP3DDataset:
             from .. import native
             sample["occ_dense"] = native.dense_from_sparse(
                 occ, self.voxel_num, self.occupancy_classes)
-            # optional invisible-voxel mask (reference
-            # mp3docc_dataset.py:512-517): 1 = visible/evaluated
+            # invisible-voxel mask (reference mp3docc_dataset.py:512-517):
+            # 1 = visible/evaluated.  Emitted WHENEVER occ_dense is (all
+            # ones when no invalid file exists — everything evaluated) so
+            # batches mixing infos with and without occ_invalid_path
+            # collate consistently instead of crashing/dropping the mask.
+            visible = np.ones(self.voxel_num, np.uint8)
             if "occ_invalid_path" in info:
                 invalid = np.load(info["occ_invalid_path"])
-                visible = np.ones(self.voxel_num, np.uint8)
                 visible[invalid] = 0
-                sample["occ_visible"] = visible
+            sample["occ_visible"] = visible
         return sample
 
 
@@ -185,6 +195,14 @@ def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     fp32 feature blocks go through the threaded native collator."""
     from .. import native
     out: Dict = {}
+    keysets = [set(s) for s in samples]
+    if any(ks != keysets[0] for ks in keysets[1:]):
+        # a clear error beats a KeyError from np.stack (or a silently
+        # dropped key when samples[0] happens to be the sparse one)
+        diff = set.union(*keysets) - set.intersection(*keysets)
+        raise ValueError(f"inconsistent sample keys in batch: {sorted(diff)}"
+                         " differ across samples (mixed annotation "
+                         "completeness in the dataset?)")
     for k in samples[0]:
         if k == "token":
             out[k] = [s[k] for s in samples]

@@ -14,6 +14,8 @@ Info record schema (one dict per sample):
   lidar2img      (num_cams, 4, 4) float32 — world->pixel per camera
   can_bus        (18,) float32
   gt_boxes       (N, 9) float32 raw (cx, cy, z_bottom, w, l, h, yaw, vx, vy)
+                 (converted to gravity-centre cz on output — the training
+                 objective's batch contract)
   gt_labels      (N,) int
   prev / next    str tokens ('' at sequence ends) — the temporal queue
   scene_name     str
@@ -70,7 +72,13 @@ class NuScenesAdapter:
         labels = np.zeros((self.max_gt,), np.int32)
         valid = np.zeros((self.max_gt,), bool)
         if n:
-            boxes[:n] = np.asarray(info["gt_boxes"], np.float32)[:n]
+            raw = np.asarray(info["gt_boxes"], np.float32)[:n]
+            boxes[:n, :raw.shape[1]] = raw[:, :9]
+            # z_bottom -> gravity centre: the training objective's batch
+            # contract (train/objective.py) and the reference's loss
+            # (head:1167-1179, cat(gravity_center, dims)) expect cz at
+            # the box centre; velocity columns (if present) pass through
+            boxes[:n, 2] = raw[:, 2] + raw[:, 5] * 0.5
             labels[:n] = np.asarray(info["gt_labels"], np.int32)[:n]
             valid[:n] = True
         return dict(

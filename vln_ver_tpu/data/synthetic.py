@@ -34,7 +34,6 @@ def _rasterise_scene(rng: np.random.Generator,
     zd, yd, xd = occ_dims
     lo = np.asarray(pc_range[:3])
     hi = np.asarray(pc_range[3:])
-    size = (hi - lo) / np.array([xd, yd, zd])[[0, 1, 2]]
     dense = np.full(zd * yd * xd, 16, dtype=np.int32)
     zz, yy, xx = np.meshgrid(np.arange(zd), np.arange(yd), np.arange(xd),
                              indexing="ij")
@@ -81,7 +80,6 @@ def _rasterise_scene(rng: np.random.Generator,
     # invisible voxels (reference occ_invalid npy, mp3docc_dataset.py:
     # 512-517): everything beyond the room walls is unobserved
     invalid = np.nonzero(flat(~inside))[0].astype(np.int64)
-    del size
     return sparse, invalid, np.asarray(boxes, np.float32), np.asarray(
         labels, np.int64), np.asarray(layout, np.float32)
 

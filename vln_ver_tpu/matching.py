@@ -13,8 +13,12 @@ Two interchangeable solvers over the same padded-cost contract:
   TPU-native — the default matcher inside the pjit'd train step.
 
 Contract: ``cost`` is ``(num_query, max_gt)`` with invalid (padded) GT
-columns filled with a large constant; every GT column gets a distinct query
-row; the caller masks out padded columns afterwards.
+columns filled with a constant JUST ABOVE the real maximum (see
+train/objective.py:_match_layer — the pad value does not change the real
+assignment, but the auction's eps scales with the global cost spread, so
+an astronomically large pad destroys its eps-optimality on the real
+columns); every GT column gets a distinct query row; the caller masks out
+padded columns afterwards.
 """
 
 from __future__ import annotations

@@ -29,6 +29,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import losses as L
 from ..boxes import normalize_bbox
@@ -36,7 +37,10 @@ from ..matching import (BIG_COST, build_detr_targets, hungarian_auction,
                         hungarian_host)
 from ..models.config import VERConfig
 
-CODE_WEIGHTS = jnp.asarray([1.0] * 8 + [0.0, 0.0])
+# numpy on purpose: a module-level jnp array would initialise the JAX
+# backend at import time, before callers can force the CPU platform
+# (CLAUDE.md: config must be updated before first device use)
+CODE_WEIGHTS = np.asarray([1.0] * 8 + [0.0, 0.0], np.float32)
 
 
 def _match_layer(cls_scores, bbox_preds, gt_norm, gt_labels, gt_valid,
@@ -50,9 +54,18 @@ def _match_layer(cls_scores, bbox_preds, gt_norm, gt_labels, gt_valid,
     else:
         cls_cost = L.focal_loss_cost(cls_scores, gt_labels, weight=2.0)
         cost = cls_cost + reg_cost
-    cost = jnp.where(gt_valid[None, :], cost, BIG_COST)
     cost = jnp.nan_to_num(cost, nan=BIG_COST, posinf=BIG_COST,
                           neginf=-BIG_COST)
+    # Pad invalid GT columns JUST above the worst real cost, not with
+    # BIG_COST: a padded column costs the same in every row, so any pad
+    # value >= the real maximum yields the identical real assignment
+    # under an exact solver — but the auction's eps scales with the
+    # GLOBAL cost spread (matching.py:58), and a 1e8 pad inflated eps by
+    # ~1e5x, making the in-graph matcher grossly eps-suboptimal on the
+    # real columns (misassignments whenever GTs competed for a query).
+    real_max = jnp.max(jnp.where(gt_valid[None, :], cost, -jnp.inf))
+    pad = jnp.where(jnp.isfinite(real_max), real_max + 1.0, 1.0)
+    cost = jnp.where(gt_valid[None, :], cost, pad)
     # the reference detaches the cost before matching
     # (hungarian_assigner_3d.py:125); also keeps reverse-mode out of the
     # matcher's while_loop

@@ -25,6 +25,10 @@ class TrainConfig:
     warmup_ratio: float = 1.0 / 3.0
     min_lr_ratio: float = 1e-3
     grad_clip_norm: float = 300.0
+    # mmcv lr hooks with by_epoch=True (the reference's default) anneal
+    # the cosine in EPOCH-granular steps; 0 keeps a smooth per-iter
+    # anneal (mmcv by_epoch=False)
+    steps_per_epoch: int = 0
     matcher: str = "auction"   # 'auction' (in-graph) | 'host' (scipy)
     # single-pass clip+AdamW (identical math to the optax chain, proven
     # bit-exact in tests/test_fused_opt.py).  Measured on chip at 208M
@@ -36,15 +40,38 @@ class TrainConfig:
 
 
 def make_lr_schedule(tc: TrainConfig) -> optax.Schedule:
-    warmup = optax.linear_schedule(
-        init_value=tc.learning_rate * tc.warmup_ratio,
-        end_value=tc.learning_rate,
-        transition_steps=max(tc.warmup_steps, 1))
-    cosine = optax.cosine_decay_schedule(
-        init_value=tc.learning_rate,
-        decay_steps=max(tc.total_steps - tc.warmup_steps, 1),
-        alpha=tc.min_lr_ratio)
-    return optax.join_schedules([warmup, cosine], [tc.warmup_steps])
+    """mmcv CosineAnnealingLrUpdaterHook + linear warmup, exactly:
+
+    * the cosine anneals over ALL ``total_steps`` (warmup included), in
+      epoch-granular progress when ``steps_per_epoch`` is set (mmcv
+      ``by_epoch=True``, the reference's default — lr is constant within
+      an epoch);
+    * warmup multiplies the CURRENT annealed lr:
+      ``lr = regular(t) * (1 - (1 - t/warmup)*(1 - warmup_ratio))``
+      (mmcv ``get_warmup_lr``), i.e. it warms toward the already-annealed
+      value, not toward the peak.
+
+    (The previous optax ``join_schedules(linear, cosine_decay)`` warmed
+    to the full peak and annealed over only the remaining steps — ~1%
+    high at warmup end and up to ~10% high mid-run vs vocc.py:272-280.)
+    """
+    base = tc.learning_rate
+    min_lr = base * tc.min_lr_ratio
+    warm = max(tc.warmup_steps, 1)
+    spe = tc.steps_per_epoch
+    total = max(tc.total_steps, 1)
+
+    def sched(step):
+        t = jnp.asarray(step, jnp.float32)
+        prog = (jnp.floor(t / spe) * spe / total) if spe > 0 else t / total
+        # mmcv annealing_cos(start=base, end=min_lr, factor=prog)
+        regular = min_lr + 0.5 * (base - min_lr) * (
+            jnp.cos(jnp.pi * prog) + 1.0)
+        k = (1.0 - t / warm) * (1.0 - tc.warmup_ratio)
+        return jnp.where(t < tc.warmup_steps, regular * (1.0 - k),
+                         regular)
+
+    return sched
 
 
 class FusedClipAdamWState(NamedTuple):

@@ -56,5 +56,7 @@ def make_train_step(cfg: VERConfig, tc: TrainConfig,
 
 
 def optax_global_norm(tree) -> jnp.ndarray:
-    leaves = jax.tree.leaves(tree)
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+    # thin alias so the metric and the clip transform share optax's
+    # definition of the global norm
+    import optax
+    return optax.global_norm(tree)
