@@ -94,3 +94,52 @@ def test_evaluate_model_respects_visible_mask(tmp_path):
     sample = ds[0]
     assert "occ_visible" in sample
     assert sample["occ_visible"].sum() == 0
+
+
+def test_ce_mode_eval_counts_empty_gt(tmp_path):
+    """ce-loss eval: dense GT encodes empty as occupancy_classes while
+    the ce decode emits empty as the LAST channel — the runner must remap
+    GT like the loss does (min(gt, n-1)) or every empty GT voxel falls
+    out of the confusion histogram.  Expectation computed independently
+    from the raw forward + decode + numpy bincount; the device-hist and
+    host-oracle paths must both match it."""
+    import jax.numpy as jnp
+
+    from vln_ver_tpu.occupancy import decode_occupancy
+
+    cfg = dataclasses.replace(TINY, occ_loss_type="ce_loss",
+                              occupancy_classes=TINY.occupancy_classes + 1)
+    ds = _dataset(tmp_path, cfg)
+    model = VoxelFormer(cfg)
+    s = ds[0]
+    params = model.init(jax.random.PRNGKey(0), s["features"][None],
+                        s["world2pixel"][None], s["origin_shift"][None])
+
+    # independent expectation over both samples
+    n = cfg.occupancy_classes          # ce: channels already incl. empty
+    hist = np.zeros((n, n), np.int64)
+    for i in range(2):
+        smp = ds[i]
+        outs = model.apply(params, smp["features"][None],
+                           smp["world2pixel"][None],
+                           smp["origin_shift"][None], deterministic=True)
+        pred = np.asarray(decode_occupancy(
+            jnp.asarray(outs["occupancy_preds"][0]), loss_type="ce_loss"))
+        gt = np.minimum(smp["occ_dense"], n - 1)
+        vis = smp["occ_visible"].astype(bool)
+        k = vis & (gt >= 0) & (gt < n)
+        hist += np.bincount(n * gt[k] + pred[k],
+                            minlength=n * n).reshape(n, n)
+    from vln_ver_tpu.evaluation.ssc_metrics import SSCMetrics
+    ref = SSCMetrics(n)
+    ref.hist += hist
+    exp = ref.get_stats()
+    assert hist[n - 1].sum() > 0, "synthetic GT must contain empty voxels"
+
+    for device_hist in (True, False):
+        m = evaluate_model(model, params, ds, limit=2,
+                           device_hist=device_hist)
+        np.testing.assert_allclose(m["miou"], exp["miou"], rtol=1e-6,
+                                   err_msg=f"device_hist={device_hist}")
+        np.testing.assert_allclose(m["iou"], exp["iou"], rtol=1e-6,
+                                   err_msg=f"device_hist={device_hist}")

@@ -277,3 +277,22 @@ def test_lr_schedule_matches_mmcv_semantics():
     exp = base * min_ratio + 0.5 * (base - base * min_ratio) * (
         np.cos(np.pi * 0.5) + 1)
     np.testing.assert_allclose(float(s2(500)), exp, rtol=1e-6)
+
+
+def test_param_pspec_shards_largest_divisible_axis():
+    """The TP rule shards the LARGEST model-divisible axis (module
+    docstring contract): a (4096, 8) kernel on an 8-way model axis must
+    shard the 4096 rows, not leave one scalar column per device; square
+    kernels keep the features-axis (last) tie-break."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from vln_ver_tpu.parallel.tensor import param_pspec
+
+    assert param_pspec(np.zeros((4096, 8)), 8) == P("model", None)
+    assert param_pspec(np.zeros((8, 4096)), 8) == P(None, "model")
+    assert param_pspec(np.zeros((512, 512)), 8) == P(None, "model")
+    assert param_pspec(np.zeros((512, 513)), 8) == P("model", None)
+    assert param_pspec(np.zeros((7, 9)), 8) == P()          # indivisible
+    assert param_pspec(np.zeros((64,)), 8) == P()           # 1-D
+    assert param_pspec(np.zeros((16, 16)), 8) == P()        # below min

@@ -49,18 +49,38 @@ def decode_boxes(cls_scores: jnp.ndarray,
     valid = (jnp.all(boxes[:, :3] >= rng[:3], axis=1)
              & jnp.all(boxes[:, :3] <= rng[3:], axis=1))
     if score_threshold is not None:
-        valid = valid & (top_scores > score_threshold)
+        # Reference fallback (nms_free_coder.py:64-74): if nothing clears
+        # the threshold, lower it by 0.9x until something passes
+        # (mask becomes >= tmp), and below 0.01 keep everything — an
+        # eval frame must never return zero candidates.  Closed form of
+        # that loop (jittable; the loop checks the 0.01 escape BEFORE
+        # the mask each iteration, so escape wins ties).
+        thr = jnp.float32(score_threshold)
+        max_s = jnp.max(top_scores)
+        ln09 = jnp.log(jnp.float32(0.9))
+        # smallest j >= 1 with max_s >= thr * 0.9^j
+        k_pass = jnp.maximum(
+            jnp.ceil(jnp.log(jnp.maximum(max_s, 1e-30) / thr) / ln09), 1.0)
+        # smallest j >= 1 with thr * 0.9^j < 0.01 (strict)
+        k_esc = jnp.maximum(
+            jnp.floor(jnp.log(jnp.float32(0.01) / thr) / ln09) + 1.0, 1.0)
+        strict = top_scores > thr
+        eff = thr * jnp.power(jnp.float32(0.9), k_pass)
+        fallback = jnp.where(k_esc <= k_pass,
+                             jnp.ones_like(strict),
+                             top_scores >= eff)
+        valid = valid & jnp.where(jnp.any(strict), strict, fallback)
     return DecodedBoxes(boxes, top_scores, labels, valid)
 
 
 def decode_layouts(layout_preds: jnp.ndarray,
-                   max_num: int = 10,
                    post_center_range: Sequence[float] = (
                        -50, -50, -5.0, 50, 50, 5.0)) -> DecodedBoxes:
-    """Scoreless layout decode (layout_coder.py:40-122): keep the first
-    ``max_num`` layout queries of the last layer, denormalised + range
-    filtered."""
-    boxes = denormalize_bbox(layout_preds[:max_num].astype(jnp.float32))
+    """Scoreless layout decode (layout_coder.py:40-74): ALL layout
+    queries of the last layer, denormalised + range filtered.  The
+    reference's ``max_num`` attribute is dead code — decode_single never
+    slices — so no truncation happens here either."""
+    boxes = denormalize_bbox(layout_preds.astype(jnp.float32))
     rng = jnp.asarray(post_center_range, jnp.float32)
     valid = (jnp.all(boxes[:, :3] >= rng[:3], axis=1)
              & jnp.all(boxes[:, :3] <= rng[3:], axis=1))

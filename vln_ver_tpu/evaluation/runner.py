@@ -165,7 +165,14 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
                 layout_rows.append(np.float32(max(ious) if ious else 0.0))
         if occ is not None and "occ_dense" in batch and device_hist:
             # decode + histogram ON DEVICE; only (T, n, n) crosses to host
-            gt = np.asarray(batch["occ_dense"])
+            # empty-id remap, mirroring the loss (train/objective.py): the
+            # dense GT encodes empty as ``occupancy_classes`` (the dataset
+            # convention) while ce-mode decode emits empty as the LAST
+            # channel (n_occ_cls - 1) — without this every empty GT voxel
+            # fell out of the histogram's bounds check and completion
+            # precision was pinned.  A no-op in focal mode
+            # (n_occ_cls - 1 == occupancy_classes == the empty id).
+            gt = np.minimum(np.asarray(batch["occ_dense"]), n_occ_cls - 1)
             w = ((np.asarray(batch["occ_visible"]) == 1).astype(np.int32)
                  if "occ_visible" in batch
                  else np.ones_like(gt, np.int32))
@@ -184,8 +191,10 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
         for i in range(bsz):
             if occ is not None and "occ_dense" in batch and not device_hist:
                 # oracle path: decode + histogram per sample on host
+                # (same empty-id remap as the device path above)
                 logits = jnp.asarray(occ[i])
-                gt = np.asarray(batch["occ_dense"][i])
+                gt = np.minimum(np.asarray(batch["occ_dense"][i]),
+                                n_occ_cls - 1)
                 vis = (np.asarray(batch["occ_visible"][i])
                        if "occ_visible" in batch else None)
                 for thr in occ_thresholds:

@@ -44,19 +44,25 @@ def voxel_reference_points(bev_z: int, bev_h: int, bev_w: int,
 
 def pillar_reference_points(bev_h: int, bev_w: int,
                             num_points_in_pillar: int = 4,
+                            z_extent: float | None = None,
                             dtype=jnp.float32) -> jnp.ndarray:
     """Normalised pillar sampling points of a 2D BEV grid.
 
     The BEVFormer-2D encoder samples each BEV cell at
-    ``num_points_in_pillar`` heights (the reference's missing
-    ``encoder.py`` 'get_reference_points' 3d branch, reconstructed from its
-    voxel generalisation at voxel_encoder.py:53-83 with bev_z ->
-    num_points_in_pillar).  Returns ``(bev_h*bev_w, P, 3)`` (x, y, z) in
-    [0, 1]; flat order is h-major then w, anchors along the last-but-one
-    axis bottom-up.
+    ``num_points_in_pillar`` heights: upstream BEVFormer's
+    ``get_reference_points('3d')`` anchors are
+    ``linspace(0.5, Z - 0.5, P) / Z`` with ``Z`` the METRIC pillar
+    height (pc-range z extent) — a 0.5 m margin at both ends, NOT a
+    half-cell of the anchor count.  ``z_extent`` supplies that Z;
+    omitted, it falls back to ``Z == P`` (the voxel generalisation at
+    voxel_encoder.py:53-83, where count and divisor coincide).  Returns
+    ``(bev_h*bev_w, P, 3)`` (x, y, z) in [0, 1]; flat order is h-major
+    then w, anchors along the last-but-one axis bottom-up.
     """
-    zs = (jnp.arange(num_points_in_pillar, dtype=dtype) + 0.5) \
-        / num_points_in_pillar
+    Z = float(z_extent) if z_extent is not None else float(
+        num_points_in_pillar)
+    zs = jnp.linspace(0.5, Z - 0.5, num_points_in_pillar,
+                      dtype=dtype) / Z
     ys = (jnp.arange(bev_h, dtype=dtype) + 0.5) / bev_h
     xs = (jnp.arange(bev_w, dtype=dtype) + 0.5) / bev_w
     y, x = jnp.meshgrid(ys, xs, indexing="ij")

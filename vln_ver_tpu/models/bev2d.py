@@ -274,7 +274,8 @@ class BEVFormerEncoder2D(nn.Module):
         cfg = self.cfg
         bsz = bev_query.shape[0]
         ref_pillar = geometry.pillar_reference_points(
-            cfg.bev_h, cfg.bev_w, cfg.num_points_in_pillar)
+            cfg.bev_h, cfg.bev_w, cfg.num_points_in_pillar,
+            z_extent=cfg.pc_range[5] - cfg.pc_range[2])
 
         def project_one(w2p, oshift):
             flat = ref_pillar.reshape(-1, 3)

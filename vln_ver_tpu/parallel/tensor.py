@@ -32,17 +32,24 @@ def make_tp_mesh(data: int, model: int, view: int = 1,
 
 
 def param_pspec(x, model_size: int, min_size: int = 1 << 15) -> P:
-    """Sharding rule for one parameter leaf: shard the LAST
-    model-divisible axis (prefer the output/features axis of kernels) over
-    ``model``; replicate small or indivisible leaves."""
+    """Sharding rule for one parameter leaf: shard the LARGEST
+    model-divisible axis over ``model`` (ties resolve to the LAST such
+    axis — the output/features axis of square kernels); replicate small
+    or indivisible leaves.  Largest-first matters: a (4096, 8) kernel on
+    an 8-way model axis must shard the 4096 rows, not leave one scalar
+    column per device."""
     shape = getattr(x, "shape", ())
     if len(shape) < 2 or int(np.prod(shape)) < min_size:
         return P()
-    for ax in range(len(shape) - 1, -1, -1):
-        if shape[ax] % model_size == 0 and shape[ax] >= model_size:
-            spec = [None] * len(shape)
-            spec[ax] = "model"
-            return P(*spec)
+    best_ax, best = -1, -1
+    for ax in range(len(shape)):
+        if (shape[ax] % model_size == 0 and shape[ax] >= model_size
+                and shape[ax] >= best):
+            best, best_ax = shape[ax], ax
+    if best_ax >= 0:
+        spec = [None] * len(shape)
+        spec[best_ax] = "model"
+        return P(*spec)
     return P()
 
 
