@@ -28,7 +28,12 @@ def grid_mask_features(rng: jax.Array, features: jnp.ndarray,
     k_apply, k_d, k_ox, k_oy = jax.random.split(rng, 4)
     apply = jax.random.uniform(k_apply, (b,)) < prob
     d = jax.random.randint(k_d, (b,), 2, max_period + 1)
-    keep = jnp.maximum((d.astype(jnp.float32) * ratio).astype(jnp.int32), 1)
+    # band width ROUNDS like the reference (grid_mask.py:93:
+    # l = min(max(int(d*ratio+0.5), 1), d-1)) — flooring made odd periods
+    # zero (ceil(d/2)/d)^2 of the grid instead of (floor(d/2)/d)^2, a
+    # materially stronger augmentation for ~half the sampled periods
+    keep = jnp.clip(jnp.floor(d.astype(jnp.float32) * ratio
+                              + 0.5).astype(jnp.int32), 1, d - 1)
     ox = jax.random.randint(k_ox, (b,), 0, max_period)
     oy = jax.random.randint(k_oy, (b,), 0, max_period)
 

@@ -74,15 +74,25 @@ class SSCMetrics:
 
     def add_batch(self, y_pred: np.ndarray, y_true: np.ndarray,
                   visible_mask: np.ndarray | None = None) -> None:
+        """Masks COMBINE: a voxel is counted iff visible AND inside the
+        far/near band.  (The reference computes far/near masks but never
+        applies them — occupancy_metrics.py:92-105 are dead attributes;
+        applying them here is the evidently intended behavior, and an
+        elif would silently report whole-scene stats for any eval that
+        passes a visibility mask.)  Note the runner's device-histogram
+        path never constructs far/near metrics — distance restriction is
+        a host-path feature."""
         y_pred = np.asarray(y_pred).reshape(-1)
         y_true = np.asarray(y_true).reshape(-1)
+        keep = None
         if visible_mask is not None:
-            visible_mask = np.asarray(visible_mask).reshape(-1)
-            y_pred = y_pred[visible_mask == 1]
-            y_true = y_true[visible_mask == 1]
-        elif self.distance_mask is not None:
-            y_pred = y_pred[self.distance_mask]
-            y_true = y_true[self.distance_mask]
+            keep = np.asarray(visible_mask).reshape(-1) == 1
+        if self.distance_mask is not None:
+            keep = (self.distance_mask if keep is None
+                    else keep & self.distance_mask)
+        if keep is not None:
+            y_pred = y_pred[keep]
+            y_true = y_true[keep]
         from .. import native
         self.hist += native.confusion_hist(
             y_pred.astype(np.int32), y_true.astype(np.int32),

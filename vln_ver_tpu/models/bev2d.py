@@ -34,6 +34,32 @@ from .attention import (MultiheadAttention, SpatialCrossAttention,
                         _offset_grid_init_2d)
 from .decoder import inverse_sigmoid
 from .encoder import FFN
+from .head import ClsBranch
+
+
+class LearnedPositionalEncoding2D(nn.Module):
+    """mmcv ``LearnedPositionalEncoding`` (the BEVFormer-2D head's
+    ``positional_encoding``): separate learned row/col embeddings of
+    ``embed_dims // 2`` features each, concatenated [col(x), row(y)] per
+    cell — threaded to the encoder as the TSA query_pos."""
+    embed_dims: int
+    bev_h: int
+    bev_w: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch_size: int) -> jnp.ndarray:
+        nf = self.embed_dims // 2
+        row = self.param("row_embed", nn.initializers.uniform(1.0),
+                         (self.bev_h, nf))
+        col = self.param("col_embed", nn.initializers.uniform(1.0),
+                         (self.bev_w, nf))
+        pos = jnp.concatenate([
+            jnp.broadcast_to(col[None, :, :], (self.bev_h, self.bev_w, nf)),
+            jnp.broadcast_to(row[:, None, :], (self.bev_h, self.bev_w, nf)),
+        ], axis=-1)  # (H, W, C), h-major flat order below
+        pos = pos.reshape(1, -1, self.embed_dims).astype(self.dtype)
+        return jnp.repeat(pos, batch_size, axis=0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,8 +83,14 @@ class BEV2DConfig:
     in_channels: int = 768
     canbus_dims: int = 18
     pc_range: Tuple[float, ...] = geometry.PC_RANGE
-    use_shift: bool = True
-    use_can_bus: bool = True
+    # Defaults mirror the reference AS SHIPPED: its 2D transformer hard
+    # zeroes the ego shift (transformer.py:148) and comments out the
+    # can-bus query add (:165-169); only prev-BEV rotation is live.
+    # Upstream BEVFormer enables all three — flip the flags for that
+    # lineage's behavior (both paths are implemented and tested).
+    use_shift: bool = False
+    use_can_bus: bool = False
+    can_bus_norm: bool = True
     rotate_prev_bev: bool = True
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
@@ -433,10 +465,15 @@ class PerceptionTransformer2D(nn.Module):
             (cfg.num_cams, cfg.embed_dims))
         self.input_proj = nn.Dense(cfg.embed_dims, dtype=cfg.dtype,
                                    name="input_proj")
-        self.can_bus_mlp = nn.Sequential([
-            nn.Dense(cfg.embed_dims // 2, dtype=cfg.dtype), nn.relu,
-            nn.Dense(cfg.embed_dims, dtype=cfg.dtype), nn.relu,
-        ])
+        # reference can_bus_mlp (transformer.py:77-85): two Dense+ReLU
+        # blocks, plus a trailing LayerNorm under can_bus_norm=True (the
+        # reference default) so the conditioning added to every BEV query
+        # has bounded scale
+        mlp = [nn.Dense(cfg.embed_dims // 2, dtype=cfg.dtype), nn.relu,
+               nn.Dense(cfg.embed_dims, dtype=cfg.dtype), nn.relu]
+        if cfg.can_bus_norm:
+            mlp.append(nn.LayerNorm(dtype=cfg.dtype))
+        self.can_bus_mlp = nn.Sequential(mlp)
         self.encoder = BEVFormerEncoder2D(cfg, name="encoder")
         self.decoder = DetectionTransformerDecoder2D(cfg, name="decoder")
         self.reference_points_fc = nn.Dense(3, dtype=jnp.float32,
@@ -516,10 +553,18 @@ class BEVFormer2D(nn.Module):
         self.query_embedding = self.param(
             "query_embedding", nn.initializers.normal(1.0),
             (cfg.num_query, 2 * cfg.embed_dims))
+        # the BEVFormer head builds a LearnedPositionalEncoding and
+        # threads it to every encoder layer's TSA as query_pos
+        self.positional_encoding = LearnedPositionalEncoding2D(
+            cfg.embed_dims, cfg.bev_h, cfg.bev_w, dtype=cfg.dtype,
+            name="positional_encoding")
         self.transformer = PerceptionTransformer2D(cfg, name="transformer")
+        # the head recipe's cls branch: (Dense, LN, ReLU) x 2 + output
+        # Dense with focal-prior bias (head:184-189, 274-278) — a bare
+        # Dense had p=0.5 initial logits and no hidden stack
         self.cls_branches = [
-            nn.Dense(self.num_classes, dtype=jnp.float32,
-                     name=f"cls_branch_{i}")
+            ClsBranch(cfg.embed_dims, self.num_classes,
+                      name=f"cls_branch_{i}")
             for i in range(cfg.decoder_layers)]
         self.reg_branches = [
             nn.Sequential([
@@ -536,17 +581,19 @@ class BEVFormer2D(nn.Module):
         bev_queries = jnp.broadcast_to(
             self.bev_embedding[None],
             (bsz, cfg.bev_num, cfg.embed_dims)).astype(cfg.dtype)
+        bev_pos = self.positional_encoding(bsz)
         if only_bev:  # history-BEV extraction (obtain_history_bev analog)
             return self.transformer.get_bev_features(
                 bev_queries, features, world2pixel, origin_shift,
-                can_bus=can_bus, prev_bev=prev_bev,
+                can_bus=can_bus, prev_bev=prev_bev, bev_pos=bev_pos,
                 deterministic=deterministic)
         reg_fns = [lambda x, i=i: self.reg_branches[i](x)
                    for i in range(cfg.decoder_layers)]
         bev_embed, inter, refs, raw = self.transformer(
             bev_queries, features, world2pixel, origin_shift,
             self.query_embedding, reg_fns, can_bus=can_bus,
-            prev_bev=prev_bev, deterministic=deterministic)
+            prev_bev=prev_bev, bev_pos=bev_pos,
+            deterministic=deterministic)
         # per-layer decode: add the (pre-layer) reference back in
         # inverse-sigmoid space, as the VER head does (head:587-610)
         pc = jnp.asarray(cfg.pc_range, jnp.float32)
