@@ -33,17 +33,24 @@ def main():
     import jax.numpy as jnp
 
     # 36-view panorama variant (north-star workload); bf16 compute.
-    cfg = VERConfig(num_cams=36, dtype=jnp.bfloat16)
+    # The capacity-bounded sparse lift (per-camera top-K visible queries)
+    # is ON by default: K=256 safely covers the <=176 visible at this rig
+    # (validated by tools/check_query_capacity.py; parity-tested exact in
+    # tests/test_sparse_lift.py).  BENCH_QCAP=0 restores the dense lift
+    # (92.3 vs 148.0 volumes/s, measured 2026-08-18).
+    qcap = int(os.environ.get("BENCH_QCAP", "256"))
+    cfg = VERConfig(num_cams=36, dtype=jnp.bfloat16,
+                    sca_query_capacity=qcap)
     # defaults match the programs in the persistent compile cache.
-    # batch sweep (min-of-3 scan-diff, on chip): 4 -> 88.2, 8 -> 91.6,
-    # 16 -> 64.3 volumes/s.  The batch-16 regression is ATTRIBUTED
-    # (tools/profile_parts.py, 2026-08-17): per-volume encoder lift
-    # rises 7.06 -> 11.10 ms (+57%) while decoder/occ stay flat — the
-    # per-layer deform A-matrix working set doubles to ~1.6 GB
-    # (16 samples x 36 cams x 8 heads x 900q x 196 taps bf16), past the
-    # locality knee of the A-construction + A@V fusion.  Batch 8 is the
-    # best single-chip operating point; larger global batches belong on
-    # the data-parallel mesh axis, not on one chip.
+    # batch sweep (min-of-3 scan-diff, on chip):
+    #   dense lift:      4 -> 88.2, 8 -> 91.6, 16 -> 64.3 volumes/s
+    #   sparse lift 256: 4 -> 146.5, 8 -> 148.0, 16 -> 141.0 volumes/s
+    # The dense batch-16 regression was ATTRIBUTED (2026-08-17) to the
+    # per-layer deform A-matrix working set (~1.6 GB) crossing its HBM
+    # locality knee; the sparse lift shrinks that working set 3.5x, which
+    # is why the knee (and the batch-4-vs-8 gap) collapse.  Batch 8 stays
+    # the single-chip operating point; larger global batches belong on
+    # the data-parallel mesh axis.
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     warmup = 3

@@ -29,6 +29,9 @@ def main():
     p.add_argument("--max-gt", type=int, default=16)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder layers in backward")
+    p.add_argument("--qcap", type=int, default=0,
+                   help="sca_query_capacity: capacity-bounded sparse "
+                        "lift (0 = dense)")
     p.add_argument("--tiny", action="store_true",
                    help="shrunken model dims — CPU smoke test of the "
                         "modes, not a perf measurement")
@@ -61,7 +64,8 @@ def main():
                         num_query=12)
     else:
         cfg = VERConfig(num_cams=args.cams, dtype=jnp.bfloat16,
-                        remat_encoder=args.remat)
+                        remat_encoder=args.remat,
+                        sca_query_capacity=args.qcap)
     model = VoxelFormer(cfg)
     rng = np.random.default_rng(0)
     feats, w2p, shift = _example_inputs(cfg, batch=b)

@@ -218,6 +218,11 @@ def build_ver_config(cfg: Config, **overrides) -> VERConfig:
     # (e.g. --cfg-options remat_encoder=True)
     if cfg.get("remat_encoder") is not None:
         kwargs["remat_encoder"] = bool(cfg.get("remat_encoder"))
+    # top-level sca_query_capacity: capacity-bounded sparse lift
+    # (e.g. --cfg-options sca_query_capacity=256; validate the dataset
+    # first with tools/check_query_capacity.py)
+    if cfg.get("sca_query_capacity") is not None:
+        kwargs["sca_query_capacity"] = int(cfg.get("sca_query_capacity"))
     kwargs.update(overrides)
     return VERConfig(**kwargs)
 

@@ -138,6 +138,38 @@ def project_reference_points(ref_xyz: jnp.ndarray,
     return xy, mask
 
 
+def max_visible_queries(world2pixel: np.ndarray,
+                        origin_shift: np.ndarray,
+                        bev_z: int = 4, bev_h: int = 15, bev_w: int = 15,
+                        pc_range=PC_RANGE,
+                        image_wh=IMAGE_WH) -> int:
+    """Largest per-camera visible voxel-query count over a batch — the
+    lower bound a safe ``VERConfig.sca_query_capacity`` must meet.
+
+    Pure numpy (host-side: meant for dataset validation before enabling
+    the capacity-bounded sparse lift).  ``world2pixel`` is (..., cam, 4, 4)
+    and ``origin_shift`` (..., 3) with matching leading dims; replicates
+    ``project_reference_points``'s visibility test exactly.
+    """
+    w2p = np.asarray(world2pixel, np.float32)
+    shift = np.asarray(origin_shift, np.float32)
+    ref = np.asarray(voxel_reference_points(bev_z, bev_h, bev_w))
+    pc = np.asarray(pc_range, np.float32)
+    world = ref * (pc[3:6] - pc[0:3]) + pc[0:3]        # (nq, 3)
+    world = world[None] + shift.reshape(-1, 1, 3)      # (B, nq, 3)
+    homo = np.concatenate([world, np.ones_like(world[..., :1])], -1)
+    cam = np.einsum("xcij,xqj->xcqi", w2p.reshape(-1, *w2p.shape[-3:]),
+                    homo)
+    depth = cam[..., 2]
+    eps = 1e-5
+    xy = cam[..., 0:2] / np.maximum(depth, eps)[..., None]
+    xy = xy / np.asarray(image_wh, np.float32)
+    vis = ((depth > eps)
+           & (xy[..., 0] > 0.0) & (xy[..., 0] < 1.0)
+           & (xy[..., 1] > 0.0) & (xy[..., 1] < 1.0))
+    return int(vis.sum(-1).max())
+
+
 def make_pinhole_world2pixel(fov_deg: float,
                              yaw_deg: float,
                              position,

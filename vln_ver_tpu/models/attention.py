@@ -82,10 +82,18 @@ class CamDeformableAttention(nn.Module):
     @nn.compact
     def __call__(self, query: jnp.ndarray, value: jnp.ndarray,
                  reference_points: jnp.ndarray,
-                 spatial_shapes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+                 spatial_shapes: Sequence[Tuple[int, int]],
+                 gather_idx: jnp.ndarray | None = None) -> jnp.ndarray:
         """query (B, nq, C); value (B, num_cam, nv, C);
         reference_points (B, num_cam, nq, num_Z_anchors, 2) in [0,1].
-        Returns (B, num_cam, nq, C)."""
+        Returns (B, num_cam, nq, C).
+
+        With ``gather_idx`` (B, num_cam, K) int32 — the capacity-bounded
+        sparse lift — the offsets/weights are still computed densely per
+        query (cheapest: one Dense over nq rows), then only the K gathered
+        rows per camera run the deformable sampling;
+        ``reference_points``/return are (B, num_cam, K, ...) shaped.
+        """
         bsz, nq, _ = query.shape
         num_cam, nv = value.shape[1], value.shape[2]
         hd = self.embed_dims // self.num_heads
@@ -100,8 +108,6 @@ class CamDeformableAttention(nn.Module):
             bias_init=lambda *a: _offset_grid_init_2d(
                 self.num_heads, self.num_levels, self.num_points),
             name="sampling_offsets", dtype=jnp.float32)(query)
-        offsets = offsets.reshape(bsz, nq, self.num_heads, self.num_levels,
-                                  self.num_points, 2)
 
         attn = nn.Dense(self.num_heads * self.num_levels * self.num_points,
                         kernel_init=nn.initializers.zeros,
@@ -110,27 +116,48 @@ class CamDeformableAttention(nn.Module):
         attn = attn.reshape(bsz, nq, self.num_heads,
                             self.num_levels * self.num_points)
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = attn.reshape(bsz, 1, nq, self.num_heads, self.num_levels,
-                            self.num_points)
-        attn = jnp.broadcast_to(
-            attn, (bsz, num_cam) + attn.shape[2:]).reshape(
-                bsz * num_cam, nq, self.num_heads, self.num_levels,
+
+        if gather_idx is not None:
+            # one-hot matmul gathers (exact: fp32 HIGHEST) keep the
+            # backward MXU-shaped — take_along_axis here would autodiff
+            # into an XLA scatter
+            onehot = jax.nn.one_hot(gather_idx, nq, dtype=jnp.float32)
+            gather = lambda x: jnp.einsum(
+                "bckn,bnf->bckf", onehot, x.reshape(bsz, nq, -1),
+                precision=jax.lax.Precision.HIGHEST)
+            nq_eff = gather_idx.shape[-1]
+            offsets = gather(offsets).reshape(
+                bsz, num_cam, nq_eff, self.num_heads, self.num_levels,
+                self.num_points, 2)
+            attn = gather(attn).reshape(
+                bsz * num_cam, nq_eff, self.num_heads, self.num_levels,
                 self.num_points)
+        else:
+            nq_eff = nq
+            offsets = offsets.reshape(bsz, 1, nq, self.num_heads,
+                                      self.num_levels, self.num_points, 2)
+            attn = attn.reshape(bsz, 1, nq, self.num_heads,
+                                self.num_levels, self.num_points)
+            attn = jnp.broadcast_to(
+                attn, (bsz, num_cam) + attn.shape[2:]).reshape(
+                    bsz * num_cam, nq, self.num_heads, self.num_levels,
+                    self.num_points)
 
         # Distribute the P sampling points across the query's Z anchors
         # (spatial_cross_attention.py:352-374); offsets broadcast over the
-        # camera axis, reference points differ per camera.
+        # camera axis (dense) or are per-camera gathered rows (sparse),
+        # reference points differ per camera.
         num_anchors = reference_points.shape[3]
         pts_per_anchor = self.num_points // num_anchors
         normalizer = jnp.asarray(
             [[w, h] for (h, w) in spatial_shapes], dtype=jnp.float32)
-        offsets = offsets / normalizer[None, None, None, :, None, :]
-        offsets = offsets.reshape(bsz, 1, nq, self.num_heads,
-                                  self.num_levels, pts_per_anchor,
-                                  num_anchors, 2)
+        offsets = offsets / normalizer[None, None, None, None, :, None, :]
+        offsets = offsets.reshape(bsz, offsets.shape[1], nq_eff,
+                                  self.num_heads, self.num_levels,
+                                  pts_per_anchor, num_anchors, 2)
         ref = reference_points[:, :, :, None, None, None, :, :]
         locations = (ref + offsets).reshape(
-            bsz * num_cam, nq, self.num_heads, self.num_levels,
+            bsz * num_cam, nq_eff, self.num_heads, self.num_levels,
             self.num_points, 2)
 
         if self.deform_impl == "pallas":
@@ -148,7 +175,7 @@ class CamDeformableAttention(nn.Module):
         else:
             out = ms_deform_attn_2d(value.astype(jnp.float32),
                                     spatial_shapes, locations, attn)
-        return out.reshape(bsz, num_cam, nq,
+        return out.reshape(bsz, num_cam, nq_eff,
                            self.embed_dims).astype(self.dtype)
 
 
@@ -157,6 +184,16 @@ class SpatialCrossAttention(nn.Module):
 
     Math-identical to the reference's sparse per-camera rebatch + scatter-add
     + count-normalise (spatial_cross_attention.py:137-176) but static-shaped.
+
+    ``query_capacity`` > 0 enables the capacity-bounded sparse lift: per
+    camera, the top-K visible queries (static K, ``lax.top_k`` on the
+    visibility mask — stable, so the K slots are the lowest-index visible
+    queries followed by pad rows) are gathered, the deformable attention
+    runs on (B*cams, K) instead of (B*cams, nq), and contributions
+    scatter-add back through a one-hot matmul.  Exact vs the dense path
+    whenever every camera sees <= K queries (at the MP3D rig: <= 176 of
+    900); overflow queries beyond K are silently dropped, so capacity must
+    be validated against the dataset (geometry.max_visible_queries).
     """
     embed_dims: int = 768
     num_heads: int = 8
@@ -165,6 +202,7 @@ class SpatialCrossAttention(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
     deform_impl: str = "onehot"
+    query_capacity: int = 0
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, value: jnp.ndarray,
@@ -189,23 +227,49 @@ class SpatialCrossAttention(nn.Module):
         # out-of-image anchors fall to grid_sample zero padding naturally.
         any_vis = jnp.any(bev_mask, axis=-1, keepdims=True)
         ref = jnp.where(any_vis[..., None], reference_points_cam, 0.0)
+        qmask = jnp.any(bev_mask, axis=-1)                 # (B, cam, nq)
 
-        # Offsets/weights are query-only -> computed once inside and
-        # broadcast over cameras; every camera attends from all queries.
-        attn_out = CamDeformableAttention(
+        deform = CamDeformableAttention(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             num_levels=self.num_levels, num_points=self.num_points,
             dtype=self.dtype, deform_impl=self.deform_impl,
-            name="deformable_attention")(query, value, ref,
-                                         spatial_shapes)
+            name="deformable_attention")
+
+        cap = self.query_capacity
+        if cap and cap < nq:
+            # top_k on the 0/1 visibility is stable (equal values keep
+            # index order): slots [0..n_vis) hold the visible queries,
+            # the rest are pad rows whose contribution `valid` zeroes.
+            _, idx = jax.lax.top_k(qmask.astype(jnp.float32), cap)
+            valid = jnp.take_along_axis(qmask, idx, axis=-1)   # (B,cam,K)
+            ref_k = jnp.take_along_axis(
+                ref, idx[..., None, None], axis=2)     # (B, cam, K, A, 2)
+            out_k = deform(query, value, ref_k, spatial_shapes,
+                           gather_idx=idx)             # (B, cam, K, C)
+            contrib = out_k * valid[..., None].astype(out_k.dtype)
+            # scatter-add back over (cam, K) slots as a one-hot matmul
+            # (fp32 accumulation — the deform-accumulation invariant)
+            onehot = jax.nn.one_hot(idx, nq, dtype=contrib.dtype)
+            slots = jnp.einsum(
+                "bckn,bckd->bnd", onehot, contrib,
+                precision=(jax.lax.Precision.HIGHEST
+                           if contrib.dtype == jnp.float32
+                           else jax.lax.Precision.DEFAULT),
+                preferred_element_type=jnp.float32)
+        else:
+            # Offsets/weights are query-only -> computed once inside and
+            # broadcast over cameras; every camera attends from all
+            # queries; invisible contributions are masked away.
+            attn_out = deform(query, value, ref, spatial_shapes)
+            slots = jnp.sum(
+                attn_out * qmask[..., None].astype(attn_out.dtype),
+                axis=1)                                # (B, nq, C)
 
         # Per-query camera hit count (any anchor visible), as in
         # spatial_cross_attention.py:170-173.
-        qmask = jnp.any(bev_mask, axis=-1)                 # (B, cam, nq)
-        slots = jnp.sum(attn_out * qmask[..., None].astype(attn_out.dtype),
-                        axis=1)                            # (B, nq, C)
         count = jnp.maximum(jnp.sum(qmask.astype(jnp.float32), axis=1), 1.0)
-        slots = slots / count[..., None].astype(slots.dtype)
+        slots = (slots.astype(jnp.float32)
+                 / count[..., None]).astype(self.dtype)
 
         slots = nn.Dense(self.embed_dims, name="output_proj",
                          dtype=self.dtype)(slots)

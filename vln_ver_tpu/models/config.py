@@ -113,6 +113,18 @@ class VERConfig:
     # storing its activations — enables larger train batches at the
     # 36-view shape.  Numerically identical (tests/test_train_step.py).
     remat_encoder: bool = False
+    # capacity-bounded sparse lift: per camera, gather only the top-K
+    # visible voxel queries (static K) before the deformable attention and
+    # scatter-add the results back — the static-shape TPU analog of the
+    # reference's data-dependent per-camera rebatch
+    # (spatial_cross_attention.py:137-154).  Math-identical to the
+    # masked-dense path whenever every camera sees <= K queries
+    # (tests/test_sparse_lift.py); EXCEEDING K silently drops the
+    # lowest-index overflow queries, so validate against the dataset with
+    # geometry.max_visible_queries / tools/check_query_capacity.py first.
+    # 0 = dense (default).  At the MP3D rig a camera sees <= 176 of the
+    # 900 queries, so K=256 cuts the per-camera deform work 3.5x.
+    sca_query_capacity: int = 0
 
     def __post_init__(self):
         # CE-mode occupancy labeling trap (train/objective.py folds the

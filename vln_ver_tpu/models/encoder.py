@@ -75,7 +75,8 @@ class VoxelEncoderLayer(nn.Module):
             embed_dims=cfg.embed_dims, num_heads=cfg.num_heads,
             num_levels=cfg.num_levels, num_points=cfg.sca_num_points,
             dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
-            deform_impl=cfg.deform_impl, name="cross_attn")(
+            deform_impl=cfg.deform_impl,
+            query_capacity=cfg.sca_query_capacity, name="cross_attn")(
                 query, value, reference_points_cam, bev_mask,
                 spatial_shapes, deterministic=deterministic)
         query = nn.LayerNorm(dtype=cfg.dtype, name="norm1")(query)
