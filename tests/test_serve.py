@@ -6,6 +6,7 @@ import argparse
 import importlib.util
 import os
 import sys
+import time
 
 import jax
 import numpy as np
@@ -97,3 +98,48 @@ def test_serve_round_trip(tmp_path):
     err = os.path.join(outbox, "bad.error.txt")
     assert os.path.exists(err)
     assert not os.listdir(os.path.join(queue, "in"))
+
+
+def test_sweep_orphans_cross_host_semantics(tmp_path):
+    """The orphan sweep may reclaim a cross-host server's requests only on
+    STALENESS — pid liveness is meaningless for another host's claims
+    (os.kill would probe an unrelated local process)."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    sv = importlib.import_module("serve_ver")
+
+    queue = str(tmp_path)
+    inbox = os.path.join(queue, "in")
+    os.makedirs(inbox)
+
+    def make_claim(dirname, fname, age_s):
+        d = os.path.join(queue, dirname)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, fname)
+        np.save(path, np.zeros(2, np.float32))
+        old = time.time() - age_s
+        os.utime(path, (old, old))
+        return path
+
+    # 1. cross-host claim, FRESH: must stay even though the pid is not
+    #    alive on this host (the pre-fix code stole it immediately)
+    make_claim(".claimed.otherhost-994321", "r1.npy", age_s=1.0)
+    # 2. cross-host claim, stale: reclaimed
+    make_claim(".claimed.otherhost-994321", "r2.npy", age_s=9999.0)
+    # 3. same-host dead pid, fresh: reclaimed (liveness verifiable here)
+    make_claim(f".claimed.{sv._claim_host()}-994322", "r3.npy", age_s=1.0)
+    # 4. our own claim: never touched
+    make_claim(f".claimed.{sv._claim_host()}-{os.getpid()}", "r4.npy",
+               age_s=9999.0)
+
+    sv._sweep_orphans(queue, inbox, max_age_s=300.0)
+
+    got = sorted(os.listdir(inbox))
+    assert got == ["r2.npy", "r3.npy"], got
+    assert os.path.exists(os.path.join(
+        queue, ".claimed.otherhost-994321", "r1.npy"))
+    assert os.path.exists(os.path.join(
+        queue, f".claimed.{sv._claim_host()}-{os.getpid()}", "r4.npy"))

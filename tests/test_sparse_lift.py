@@ -174,7 +174,9 @@ def test_max_visible_queries_matches_projection():
     got = geometry.max_visible_queries(np.asarray(w2p), np.asarray(shift),
                                        cfg.bev_z, cfg.bev_h, cfg.bev_w,
                                        cfg.pc_range)
-    assert got == expect
+    # the validator dilates the visibility boundary (fp-rounding guard),
+    # so it may over-count slightly but must NEVER under-count
+    assert expect <= got <= expect + 16, (got, expect)
 
 
 if __name__ == "__main__":

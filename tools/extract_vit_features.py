@@ -40,11 +40,23 @@ KEY_RE = re.compile(r"^(?P<key>.+_i\d+_\d+)\.(jpg|jpeg|png|npy)$", re.I)
 
 
 def iter_dir_images(root):
+    """Yield (key, path) for every image under ``root``.  Keys come from
+    basenames, so a pre-scan rejects collisions (same basename in two
+    subdirectories, or x.jpg next to x.npy) up front — h5py would
+    otherwise die on the duplicate create_dataset hours into a run."""
+    by_key = {}
     for dirpath, _, names in sorted(os.walk(root)):
         for name in sorted(names):
             m = KEY_RE.match(name)
-            if m:
-                yield m.group("key"), os.path.join(dirpath, name)
+            if not m:
+                continue
+            key, path = m.group("key"), os.path.join(dirpath, name)
+            if key in by_key:
+                raise SystemExit(
+                    f"duplicate feature key '{key}': {by_key[key]} "
+                    f"and {path} — de-duplicate the image tree first")
+            by_key[key] = path
+    yield from by_key.items()
 
 
 def load_image(path) -> np.ndarray:

@@ -129,6 +129,11 @@ def _claim(inbox: str, claimed_dir: str, limit: int):
     return got
 
 
+def _claim_host() -> str:
+    import socket
+    return socket.gethostname().replace("-", "_")
+
+
 def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 300.0):
     """Return requests stranded in dead servers' ``.claimed.*`` dirs to
     the inbox.  A claimed dir is swept when its owner pid is not alive on
@@ -142,19 +147,32 @@ def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 300.0):
     interval by a wide margin, not bound compile time.  300 s = 5 missed
     touches proves the owner dead, and keeps recovery of a crashed
     CROSS-HOST server's requests (where the pid check can't see it)
-    within minutes rather than tens of minutes."""
+    within minutes rather than tens of minutes.
+
+    Claim dirs are host-qualified (``.claimed.{host}-{pid}``): the pid
+    liveness probe is meaningful ONLY for claims made on this host.  For
+    another host's claims (or legacy pid-only names from a foreign host)
+    ``os.kill(pid, 0)`` would be probing an unrelated local process —
+    treating its absence as "owner dead" stole an alive cross-host
+    server's fresh claims the moment they were made — so cross-host
+    claims are swept on staleness alone."""
+    me = _claim_host()
     for name in os.listdir(queue):
         if not name.startswith(".claimed."):
             continue
         d = os.path.join(queue, name)
+        rest = name[len(".claimed."):]
+        host, _, pidstr = rest.rpartition("-")
         try:
-            pid = int(name.rsplit(".", 1)[1])
+            pid = int(pidstr)
         except ValueError:
             pid = -1
-        if pid == os.getpid():
+        if pid == os.getpid() and host in ("", me):
             continue  # never touch our own in-flight claims
-        alive = False
-        if pid > 0:
+        # pid liveness is only verifiable for same-host claims; legacy
+        # pid-only names are assumed same-host (the old behavior)
+        alive = None
+        if pid > 0 and host in ("", me):
             try:
                 os.kill(pid, 0)
                 alive = True
@@ -170,7 +188,7 @@ def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 300.0):
                 stale = (time.time() - os.path.getmtime(path)) > max_age_s
             except OSError:
                 continue  # owner served/removed it between listdir+stat
-            if (not alive) or stale:
+            if (alive is False) or stale:
                 try:
                     os.rename(path, os.path.join(inbox, f))
                 except OSError:
@@ -179,7 +197,7 @@ def _sweep_orphans(queue: str, inbox: str, max_age_s: float = 300.0):
         # pid-unverifiable) server's empty claimed dir must stay: removing
         # it would make its next _claim os.rename fail ENOENT forever
         # (silently — _claim skips OSError), zombifying a healthy server.
-        if not alive and pid > 0:
+        if alive is False and pid > 0:
             try:
                 os.rmdir(d)  # only succeeds when emptied
             except OSError:
@@ -205,7 +223,8 @@ def serve(args) -> int:
 
     inbox = os.path.join(args.queue, "in")
     outbox = os.path.join(args.queue, "out")
-    claimed = os.path.join(args.queue, f".claimed.{os.getpid()}")
+    claimed = os.path.join(args.queue,
+                           f".claimed.{_claim_host()}-{os.getpid()}")
     for d in (inbox, outbox, claimed):
         os.makedirs(d, exist_ok=True)
 

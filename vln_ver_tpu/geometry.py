@@ -149,7 +149,11 @@ def max_visible_queries(world2pixel: np.ndarray,
     Pure numpy (host-side: meant for dataset validation before enabling
     the capacity-bounded sparse lift).  ``world2pixel`` is (..., cam, 4, 4)
     and ``origin_shift`` (..., 3) with matching leading dims; replicates
-    ``project_reference_points``'s visibility test exactly.
+    ``project_reference_points``'s visibility test with the bounds
+    DILATED by a small tolerance, so a projection that lands within fp
+    rounding of an image edge (where the on-device XLA fused arithmetic
+    may round the other way and count the query visible) is counted here
+    too — the returned bound is conservative, never an under-count.
     """
     w2p = np.asarray(world2pixel, np.float32)
     shift = np.asarray(origin_shift, np.float32)
@@ -158,15 +162,17 @@ def max_visible_queries(world2pixel: np.ndarray,
     world = ref * (pc[3:6] - pc[0:3]) + pc[0:3]        # (nq, 3)
     world = world[None] + shift.reshape(-1, 1, 3)      # (B, nq, 3)
     homo = np.concatenate([world, np.ones_like(world[..., :1])], -1)
-    cam = np.einsum("xcij,xqj->xcqi", w2p.reshape(-1, *w2p.shape[-3:]),
-                    homo)
+    cam = np.einsum("xcij,xqj->xcqi",
+                    w2p.reshape(-1, *w2p.shape[-3:]).astype(np.float64),
+                    homo.astype(np.float64))
     depth = cam[..., 2]
     eps = 1e-5
+    tol = 1e-4  # fp32-rounding dilation of the visibility boundary
     xy = cam[..., 0:2] / np.maximum(depth, eps)[..., None]
-    xy = xy / np.asarray(image_wh, np.float32)
-    vis = ((depth > eps)
-           & (xy[..., 0] > 0.0) & (xy[..., 0] < 1.0)
-           & (xy[..., 1] > 0.0) & (xy[..., 1] < 1.0))
+    xy = xy / np.asarray(image_wh, np.float64)
+    vis = ((depth > eps * (1.0 - tol))
+           & (xy[..., 0] > -tol) & (xy[..., 0] < 1.0 + tol)
+           & (xy[..., 1] > -tol) & (xy[..., 1] < 1.0 + tol))
     return int(vis.sum(-1).max())
 
 

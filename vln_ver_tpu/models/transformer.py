@@ -76,8 +76,15 @@ class VoxelTransformer(nn.Module):
 
     def get_voxel_features(self, features, bev_queries, world2pixel,
                            origin_shift, prev_bev=None, bev_pos=None,
-                           deterministic: bool = True):
+                           tsa_shift=None, deterministic: bool = True):
         """Lift multi-view features into the voxel grid.
+
+        ``tsa_shift`` (B, 3) offsets the TSA slot-0 (prev-frame) reference
+        points under ``use_temporal_self_attn``.  Default None == zeros ==
+        the reference, whose VOXEL transformer hard-codes
+        ``shift = [[0., 0., 0.]]`` (voxel_transformer.py:140) — only its
+        2D BEVFormer lineage computes a live ego shift (models/bev2d.py
+        here).  Pass a real ego displacement to enable the capability.
 
         Args:
           features: (B, num_cams, feat_h, feat_w, C) ViT patch features.
@@ -109,7 +116,8 @@ class VoxelTransformer(nn.Module):
         spatial_shapes = ((fh, fw),)
         return self.encoder(bev_queries, value, cam_xy, mask,
                             spatial_shapes, prev_bev=prev_bev,
-                            bev_pos=bev_pos, deterministic=deterministic)
+                            bev_pos=bev_pos, shift=tsa_shift,
+                            deterministic=deterministic)
 
     def __call__(self, features, bev_queries, object_query_embed,
                  world2pixel, origin_shift, prev_bev=None, bev_pos=None,
