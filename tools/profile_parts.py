@@ -27,6 +27,8 @@ def main():
     p.add_argument("--cams", type=int, default=36)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--qcap", type=int, default=0,
+                   help="sca_query_capacity (0 = dense lift)")
     args = p.parse_args()
 
     import jax
@@ -67,7 +69,8 @@ def main():
     for mode, cfg_kw in (("bev", {}),
                          ("det", dict(only_det=True)),
                          ("full", {})):
-        cfg = VERConfig(num_cams=args.cams, dtype=jnp.bfloat16, **cfg_kw)
+        cfg = VERConfig(num_cams=args.cams, dtype=jnp.bfloat16,
+                        sca_query_capacity=args.qcap, **cfg_kw)
         model = VoxelFormer(cfg)
         feats, w2p, shift = _example_inputs(cfg, batch=args.batch)
         params = model.init(jax.random.PRNGKey(0), feats[:1], w2p[:1],
