@@ -128,13 +128,34 @@ class _UpStage(nn.Module):
         # STATUS.md) — ~1e-3 error that breaks reference-fidelity claims.
         prec = (jax.lax.Precision.HIGHEST
                 if self.dtype == jnp.float32 else None)
-        return jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1, 1, 1),
-            padding=((2, 2), pad_y, pad_x),
-            rhs_dilation=(2, 1, 1),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            precision=prec)
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+
+        def zslab(xs, kz):
+            # one z-size-1 kernel tap over a z-slab; no z padding
+            return jax.lax.conv_general_dilated(
+                xs, kz,
+                window_strides=(1, 1, 1),
+                padding=((0, 0), pad_y, pad_x),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                precision=prec)
+
+        # The reference z-axis is kernel 3, dilation 2, pad (2, 2):
+        # out[zo] = sum_k x[zo + 2k - 2] * W[k].  On the bev_z=4 grid
+        # exactly one of the three taps per output plane lands in the
+        # zero padding, so the naive 3D conv wastes 1/3 of its MXU work
+        # multiplying zeros.  Decompose over the kernel z-index and
+        # compute only the in-range (out_z, in_z) pairs: the k=1 (offset
+        # 0) tap covers every plane; k=0 feeds out[2:] from x[:-2]; k=2
+        # feeds out[:-2] from x[2:].  Exact reformulation (same parity
+        # test vs flax ConvTranspose); at bev_z=4 it is 8 plane-convs
+        # instead of 12.
+        z = xd.shape[1]
+        out = zslab(xd, kd[1:2])
+        if z > 2:
+            out = out.at[:, 2:].add(zslab(xd[:, : z - 2], kd[0:1]))
+            out = out.at[:, : z - 2].add(zslab(xd[:, 2:], kd[2:3]))
+        return out
 
     def even_conv(self, x):
         """Dense input (stage 1): the full even-grid correlation."""
