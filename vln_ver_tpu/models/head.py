@@ -149,13 +149,18 @@ class _UpStage(nn.Module):
         # 0) tap covers every plane; k=0 feeds out[2:] from x[:-2]; k=2
         # feeds out[:-2] from x[2:].  Exact reformulation (same parity
         # test vs flax ConvTranspose); at bev_z=4 it is 8 plane-convs
-        # instead of 12.
+        # instead of 12.  Assembled with slice+add+concat — an earlier
+        # .at[].add() form lowered to dynamic-update-slice copies that
+        # cost ~16% throughput at batch 4 (bench 2026-08-19).
         z = xd.shape[1]
-        out = zslab(xd, kd[1:2])
-        if z > 2:
-            out = out.at[:, 2:].add(zslab(xd[:, : z - 2], kd[0:1]))
-            out = out.at[:, : z - 2].add(zslab(xd[:, 2:], kd[2:3]))
-        return out
+        mid = zslab(xd, kd[1:2])
+        if z <= 2:
+            return mid
+        lo = zslab(xd[:, : z - 2], kd[0:1])   # feeds out[2:]
+        hi = zslab(xd[:, 2:], kd[2:3])        # feeds out[:z-2]
+        zeros2 = jnp.zeros_like(mid[:, :2])
+        return (mid + jnp.concatenate([zeros2, lo], axis=1)
+                    + jnp.concatenate([hi, zeros2], axis=1))
 
     def even_conv(self, x):
         """Dense input (stage 1): the full even-grid correlation."""
