@@ -159,6 +159,62 @@ def test_sparse_lift_on_view_sharded_mesh():
                                float(m_dense["loss"]), rtol=2e-5)
 
 
+def test_overflow_metric_surfaces_in_graph():
+    """An under-capacity config must REPORT the drop in-graph: the model
+    emits ``sca_overflow`` = visible queries beyond K in the worst
+    (batch, camera) slot, and the train step forwards it as a metric —
+    the guard the reference never needs (its rebatch is data-dependent
+    and never drops, spatial_cross_attention.py:137-154)."""
+    import dataclasses
+
+    from tests.test_train_step import TINY, _toy_batch
+    from vln_ver_tpu.models import VoxelFormer
+    from vln_ver_tpu.train import (TrainConfig, create_train_state,
+                                   make_train_step)
+
+    batch = _toy_batch(b=2, cfg=TINY)
+    model = VoxelFormer(TINY)
+    params = model.init(jax.random.PRNGKey(0), batch["features"][:1],
+                        batch["world2pixel"][:1],
+                        batch["origin_shift"][:1])
+
+    # ground truth from the host validator (never under-counts) and the
+    # exact projection mask
+    ref3d = geometry.voxel_reference_points(TINY.bev_z, TINY.bev_h,
+                                            TINY.bev_w)
+    _, mask = jax.vmap(
+        lambda w, s: geometry.project_reference_points(
+            ref3d, w, s, pc_range=TINY.pc_range))(
+                jnp.asarray(batch["world2pixel"]),
+                jnp.asarray(batch["origin_shift"]))
+    max_vis = int(np.asarray(mask).sum(-1).max())
+    assert max_vis > 2, "toy rig must see >2 queries for this test"
+
+    under = dataclasses.replace(TINY, sca_query_capacity=2)
+    outs = VoxelFormer(under).apply(
+        params, batch["features"], batch["world2pixel"],
+        batch["origin_shift"], deterministic=True)
+    assert int(outs["sca_overflow"]) == max_vis - 2
+
+    # covering capacity and the dense path both report zero
+    cover = dataclasses.replace(TINY, sca_query_capacity=max_vis)
+    outs_ok = VoxelFormer(cover).apply(
+        params, batch["features"], batch["world2pixel"],
+        batch["origin_shift"], deterministic=True)
+    assert int(outs_ok["sca_overflow"]) == 0
+    outs_dense = model.apply(
+        params, batch["features"], batch["world2pixel"],
+        batch["origin_shift"], deterministic=True)
+    assert int(outs_dense["sca_overflow"]) == 0
+
+    # the train step surfaces it as a metric
+    tc = TrainConfig(learning_rate=1e-4, matcher="auction")
+    state = create_train_state(VoxelFormer(under), params, tc)
+    step = make_train_step(under, tc, donate=False)
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(metrics["sca_overflow"]) == max_vis - 2
+
+
 def test_max_visible_queries_matches_projection():
     """The host validator replicates project_reference_points' mask."""
     from __graft_entry__ import _example_inputs

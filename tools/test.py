@@ -109,6 +109,13 @@ def main():
     for k in sorted(metrics):
         if k.startswith(("miou", "iou", "occ_")):
             print(f"{k}: {metrics[k]:.4f}")
+    if metrics.get("sca_overflow", 0) > 0:
+        raise SystemExit(
+            f"sca_query_capacity overflow: {int(metrics['sca_overflow'])} "
+            "visible queries beyond capacity in the worst camera slot — "
+            "the sparse lift dropped contributions and the metrics above "
+            "are NOT exact. Validate with tools/check_query_capacity.py "
+            "and raise model.sca_query_capacity.")
 
 
 if __name__ == "__main__":

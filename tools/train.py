@@ -296,6 +296,16 @@ def main():
                     return
                 if step % log_interval == 0 or step == total_steps:
                     m = {k: float(v) for k, v in metrics.items()}
+                    if m.get("sca_overflow", 0) > 0:
+                        save_state(ckpt_dir, step, state)
+                        raise SystemExit(
+                            f"sca_query_capacity overflow at step {step}: "
+                            f"{int(m['sca_overflow'])} visible queries "
+                            "beyond capacity in the worst camera slot — "
+                            "the sparse lift silently dropped them. "
+                            "Validate the dataset with "
+                            "tools/check_query_capacity.py and raise "
+                            "model.sca_query_capacity (checkpoint saved).")
                     m.update(step=step, lr=float(sched(step)),
                              sec_per_step=(time.perf_counter() - t0)
                              / max(step - start_step, 1))

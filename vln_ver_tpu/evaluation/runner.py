@@ -69,7 +69,7 @@ def _eval_fns(model: VoxelFormer, occ_thresholds):
                     outs["all_cls_scores"][-1], outs["all_bbox_preds"][-1])
         layouts = outs.get("all_layout_preds")
         layouts = layouts[-1] if layouts is not None else None
-        return occ, dec, layouts
+        return occ, dec, layouts, outs["sca_overflow"]
 
     @jax.jit
     def occ_hists(occ_logits, gt, weight):
@@ -136,6 +136,9 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
 
     # static-shape per-sample result rows (gatherable across processes)
     pred_rows, gt_rows, layout_rows = [], [], []
+    # sparse-lift overflow guard: max over batches, accumulated ON DEVICE
+    # (async dispatch — no per-batch fetch RTT), fetched once at the end
+    overflow_dev = jnp.zeros((), jnp.int32)
 
     for batch in iterate_batches(dataset, batch_size, indices=indices,
                                  drop_last=False):
@@ -149,7 +152,8 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
                        "origin_shift": shift}, batch_size)
             feats, w2p, shift = (s["features"], s["world2pixel"],
                                  s["origin_shift"])
-        occ, dec, layout_preds = forward(params, feats, w2p, shift)
+        occ, dec, layout_preds, ovf = forward(params, feats, w2p, shift)
+        overflow_dev = jnp.maximum(overflow_dev, ovf)
         if layout_preds is not None and "gt_layout" in batch:
             from ..coders import decode_layouts
             from .indoor_eval import box3d_iou
@@ -250,7 +254,11 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
             gathered.append(multihost.allgather_results(arr, per))
         return list(zip(*gathered))
 
+    overflow = float(jax.device_get(overflow_dev))
     if multihost.process_count() > 1:
+        from jax.experimental import multihost_utils
+        overflow = float(np.max(multihost_utils.process_allgather(
+            np.float32(overflow))))
         for thr in occ_thresholds:
             ssc[thr].hist = multihost.allreduce_sum(ssc[thr].hist)
         pred_rows = _gather_tuplelist(pred_rows, 4)
@@ -260,6 +268,7 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
             if layout_rows or multihost.process_count() > 1 else []
 
     metrics: Dict[str, float] = {}
+    metrics["sca_overflow"] = overflow
     if gt_rows:
         gt_annos = [{"boxes": b[v][:, :7], "labels": l[v]}
                     for (b, l, v) in gt_rows]

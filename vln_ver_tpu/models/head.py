@@ -446,12 +446,13 @@ class VoxelFormerOccupancyHead(nn.Module):
                    if cfg.use_temporal_self_attn else None)
 
         if only_bev or cfg.only_occ:
-            bev_embed = self.transformer.get_voxel_features(
+            bev_embed, sca_overflow = self.transformer.get_voxel_features(
                 features, voxel_queries, world2pixel, origin_shift,
                 prev_bev=prev_bev, bev_pos=bev_pos,
                 deterministic=deterministic)
             if only_bev:
-                return {"bev_embed": bev_embed}
+                return {"bev_embed": bev_embed,
+                        "sca_overflow": sca_overflow}
             occupancy_preds = self._occupancy_from_voxels(
                 bev_embed, refined=False)
             return {
@@ -461,9 +462,11 @@ class VoxelFormerOccupancyHead(nn.Module):
                 "all_layout_preds": None,
                 "occupancy_preds": occupancy_preds,
                 "flow_preds": None,
+                "sca_overflow": sca_overflow,
             }
 
-        bev_embed, hs, raw_preds, refs_before = self.transformer(
+        bev_embed, hs, raw_preds, refs_before, sca_overflow = \
+            self.transformer(
             features, voxel_queries, self.query_embedding,
             world2pixel, origin_shift, prev_bev=prev_bev, bev_pos=bev_pos,
             deterministic=deterministic)
@@ -512,4 +515,5 @@ class VoxelFormerOccupancyHead(nn.Module):
             "all_layout_preds": all_layout_preds,
             "occupancy_preds": occupancy_preds,
             "flow_preds": None,
+            "sca_overflow": sca_overflow,
         }

@@ -93,7 +93,16 @@ class VoxelTransformer(nn.Module):
           world2pixel: (B, num_cams, 4, 4) fp32.
           origin_shift: (B, 3) fp32.
         Returns:
-          (B, bev_num, C) voxel embedding.
+          ((B, bev_num, C) voxel embedding, sca_overflow int32 scalar).
+
+        ``sca_overflow`` is the in-graph guard on the capacity-bounded
+        sparse lift: the number of visible queries BEYOND
+        ``sca_query_capacity`` in the worst (batch, camera) slot — zero
+        means the lift is exact (the reference's data-dependent rebatch
+        never drops, spatial_cross_attention.py:137-154; the lift only
+        matches it when K covers every camera's visibility).  Constant 0
+        when the dense lift is active.  Callers fail fast on nonzero
+        (tools/train.py / test.py / get_occ.py).
         """
         cfg = self.cfg
         b, num_cams, fh, fw, c = features.shape
@@ -113,11 +122,22 @@ class VoxelTransformer(nn.Module):
         cam_xy = cam_xy[:, :, :, None, :]       # (B, cams, nq, 1, 2)
         mask = mask[:, :, :, None]              # (B, cams, nq, 1)
 
+        cap = cfg.sca_query_capacity
+        if cap and cap < mask.shape[2]:
+            # worst-slot visible-query count minus K (free: one reduce
+            # over the mask already in registers)
+            vis = jnp.sum(jnp.any(mask, axis=-1).astype(jnp.int32),
+                          axis=-1)                         # (B, cams)
+            overflow = jnp.maximum(jnp.max(vis) - cap, 0)
+        else:
+            overflow = jnp.zeros((), jnp.int32)
+
         spatial_shapes = ((fh, fw),)
-        return self.encoder(bev_queries, value, cam_xy, mask,
-                            spatial_shapes, prev_bev=prev_bev,
-                            bev_pos=bev_pos, shift=tsa_shift,
-                            deterministic=deterministic)
+        embed = self.encoder(bev_queries, value, cam_xy, mask,
+                             spatial_shapes, prev_bev=prev_bev,
+                             bev_pos=bev_pos, shift=tsa_shift,
+                             deterministic=deterministic)
+        return embed, overflow
 
     def __call__(self, features, bev_queries, object_query_embed,
                  world2pixel, origin_shift, prev_bev=None, bev_pos=None,
@@ -127,12 +147,14 @@ class VoxelTransformer(nn.Module):
         Returns (voxel_embed (B, bev_num, C),
                  inter_states (L, B, nq, C),
                  raw_reg_preds (L, B, nq, code_size),
-                 refs_before (L, B, nq, 3)) where refs_before[l] is the
-        reference fed INTO layer l (init for l=0) — exactly what the head's
-        output-coordinate computation consumes (head:587-606).
+                 refs_before (L, B, nq, 3),
+                 sca_overflow int32 scalar — see get_voxel_features)
+        where refs_before[l] is the reference fed INTO layer l (init for
+        l=0) — exactly what the head's output-coordinate computation
+        consumes (head:587-606).
         """
         cfg = self.cfg
-        voxel_embed = self.get_voxel_features(
+        voxel_embed, overflow = self.get_voxel_features(
             features, bev_queries, world2pixel, origin_shift,
             prev_bev=prev_bev, bev_pos=bev_pos,
             deterministic=deterministic)
@@ -167,4 +189,4 @@ class VoxelTransformer(nn.Module):
         inter_states, refs_before, raw_preds = self.decoder(
             query, dec_value, query_pos, init_ref, reg_fns,
             spatial_shapes, deterministic=deterministic)
-        return voxel_embed, inter_states, raw_preds, refs_before
+        return voxel_embed, inter_states, raw_preds, refs_before, overflow

@@ -38,14 +38,19 @@ def make_train_step(cfg: VERConfig, tc: TrainConfig,
                 rngs={"dropout": rng})
             loss_dict = compute_losses(cfg, outs, batch, matcher=tc.matcher)
             total = sum(loss_dict.values())
-            return total, loss_dict
+            return total, (loss_dict, outs["sca_overflow"])
 
-        (total, loss_dict), grads = jax.value_and_grad(
+        (total, (loss_dict, overflow)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
         metrics = dict(loss_dict)
         metrics["loss"] = total
         metrics["grad_norm"] = optax_global_norm(grads)
+        # in-graph guard on the capacity-bounded sparse lift: visible
+        # queries beyond sca_query_capacity in the worst (batch, camera)
+        # slot — nonzero means dropped contributions (the reference's
+        # rebatch never drops); tools/train.py fails fast on it
+        metrics["sca_overflow"] = overflow
         return new_state, metrics
 
     kw = {}
