@@ -1,0 +1,101 @@
+"""Pipelined VER dump (vln_ver_tpu/ver_writer.py) vs the serial oracle.
+
+The product path (SURVEY §3.3, reference voxelformer_occupancy_head.py:
+627-638 + tools/test.py's loop) overlaps dispatch/fetch and moves
+gzip+HDF5 writes to a writer thread.  The overlap must change NOTHING
+about the artifact: same keys, same values, same dtype, gzip compression
+on every dataset.
+"""
+
+import os
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from tests.test_model_forward import TINY
+from vln_ver_tpu.data import MP3DDataset, make_synthetic_dataset
+from vln_ver_tpu.models import VoxelFormer
+from vln_ver_tpu.ver_writer import dump_volumes
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    cfg = TINY
+    ann = make_synthetic_dataset(
+        root, num_scans=1, viewpoints_per_scan=5, num_cams=cfg.num_cams,
+        feat_hw=cfg.feat_h, feat_dim=cfg.in_channels,
+        occ_dims=(cfg.occ_zdim, cfg.occ_ydim, cfg.occ_xdim),
+        pc_range=cfg.pc_range)
+    dataset = MP3DDataset(ann, root, voxel_num=cfg.voxel_num,
+                          occupancy_classes=cfg.occupancy_classes,
+                          num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
+                          test_mode=True)
+    model = VoxelFormer(cfg)
+    s0 = dataset[0]
+    params = model.init(jax.random.PRNGKey(0), s0["features"][None],
+                        s0["world2pixel"][None], s0["origin_shift"][None])
+
+    @jax.jit
+    def bev_only(params, feats, w2p, shift):
+        outs = model.apply(params, feats, w2p, shift, deterministic=True,
+                           only_bev=True)
+        return outs["bev_embed"], outs["sca_overflow"]
+
+    return cfg, dataset, params, bev_only
+
+
+def _read_all(path):
+    out = {}
+    with h5py.File(path, "r") as f:
+        for k in f:
+            assert f[k].compression == "gzip", k
+            out[k] = (f[k][:], f[k].dtype)
+    return out
+
+
+def test_pipelined_dump_matches_serial(setup, tmp_path):
+    cfg, dataset, params, bev_only = setup
+    a, b = str(tmp_path / "serial.h5"), str(tmp_path / "pipe.h5")
+    # batch 2 over 5 viewpoints: exercises the short final batch
+    r1 = dump_volumes(bev_only, params, cfg, dataset, a, batch_size=2,
+                      serial=True)
+    r2 = dump_volumes(bev_only, params, cfg, dataset, b, batch_size=2,
+                      serial=False)
+    assert r1["written"] == r2["written"] == len(dataset)
+    assert r1["sca_overflow"] == r2["sca_overflow"] == 0
+    va, vb = _read_all(a), _read_all(b)
+    assert sorted(va) == sorted(vb)
+    for k in va:
+        assert va[k][1] == vb[k][1] == np.float32
+        np.testing.assert_array_equal(va[k][0], vb[k][0])
+        assert va[k][0].shape == (cfg.embed_dims, cfg.bev_z, cfg.bev_h,
+                                  cfg.bev_w)
+
+
+def test_dump_reports_overflow(setup, tmp_path):
+    import dataclasses
+
+    cfg, dataset, params, _ = setup
+    under = dataclasses.replace(cfg, sca_query_capacity=2)
+    model = VoxelFormer(under)
+
+    @jax.jit
+    def bev_only(params, feats, w2p, shift):
+        outs = model.apply(params, feats, w2p, shift, deterministic=True,
+                           only_bev=True)
+        return outs["bev_embed"], outs["sca_overflow"]
+
+    res = dump_volumes(bev_only, params, under, dataset,
+                       str(tmp_path / "ovf.h5"), batch_size=2)
+    assert res["sca_overflow"] > 0   # tools/get_occ.py fails fast on this
+
+
+def test_writer_failure_propagates(setup, tmp_path):
+    cfg, dataset, params, bev_only = setup
+    bad = str(tmp_path / "no_such_dir" / "out.h5")
+    assert not os.path.isdir(os.path.dirname(bad))
+    with pytest.raises(Exception):
+        dump_volumes(bev_only, params, cfg, dataset, bad, batch_size=2)

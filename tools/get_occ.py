@@ -18,8 +18,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
@@ -37,6 +35,14 @@ def parse_args():
                         " shards each batch over local chips; batch-size "
                         "must divide by the data axis")
     p.add_argument("--out", default=None, help="override savename")
+    p.add_argument("--gzip-level", type=int, default=4,
+                   help="gzip compression level for the HDF5 datasets "
+                        "(default 4 = h5py's default; the reference dump "
+                        "schema requires gzip, not a particular level)")
+    p.add_argument("--serial", action="store_true",
+                   help="disable the pipelined dump (dispatch/fetch "
+                        "overlap + writer thread) — oracle path for "
+                        "tests; output bytes are identical either way")
     return p.parse_args()
 
 
@@ -46,13 +52,11 @@ def main():
     apply_platform_env()
     from vln_ver_tpu.parallel import multihost
     multihost.initialize_if_needed()
-    import h5py
     import jax
 
     from vln_ver_tpu.config import build_ver_config, load_config
     from vln_ver_tpu.config.api import dataset_kwargs
     from vln_ver_tpu.data import MP3DDataset, make_synthetic_dataset
-    from vln_ver_tpu.data.mp3d import iterate_batches
     from vln_ver_tpu.models import VoxelFormer
     from vln_ver_tpu.train import TrainConfig, create_train_state
     from vln_ver_tpu.utils.checkpoint import latest_step, restore_state
@@ -97,8 +101,9 @@ def main():
 
     @jax.jit
     def bev_only(params, feats, w2p, shift):
-        return model.apply(params, feats, w2p, shift, deterministic=True,
-                           only_bev=True)["bev_embed"]
+        outs = model.apply(params, feats, w2p, shift, deterministic=True,
+                           only_bev=True)
+        return outs["bev_embed"], outs["sca_overflow"]
 
     n = min(len(dataset), args.limit or len(dataset))
     # multi-process: contiguous shard per process, one HDF5 shard file each
@@ -108,8 +113,8 @@ def main():
         savename = f"{savename}.shard{multihost.process_index()}"
     mesh = None
     if args.mesh:
-        from vln_ver_tpu.parallel import (data_axis_size, pad_and_shard,
-                                          parse_eval_mesh, replicate)
+        from vln_ver_tpu.parallel import (data_axis_size, parse_eval_mesh,
+                                          replicate)
         mesh = parse_eval_mesh(args.mesh)
         if args.batch_size % data_axis_size(mesh) != 0:
             raise ValueError(f"--batch-size {args.batch_size} not "
@@ -117,33 +122,25 @@ def main():
                              f"{data_axis_size(mesh)}")
         params = replicate(mesh, params)
 
-    written = 0
-    with h5py.File(savename, "a") as outf:
-        for batch in iterate_batches(dataset, args.batch_size,
-                                     indices=indices, drop_last=False):
-            feats, w2p, shift = (batch["features"], batch["world2pixel"],
-                                 batch["origin_shift"])
-            real = feats.shape[0]
-            if mesh is not None:
-                # pad short batches to the ONE compiled batch shape
-                s, real = pad_and_shard(
-                    mesh, {"features": feats, "world2pixel": w2p,
-                           "origin_shift": shift}, args.batch_size)
-                feats, w2p, shift = (s["features"], s["world2pixel"],
-                                     s["origin_shift"])
-            bev = np.asarray(bev_only(params, feats, w2p,
-                                      shift))[:real]
-            # (B, bev_num, C) -> (B, C, Z, H, W) — dump layout parity with
-            # the reference (head:634-636)
-            b = bev.shape[0]
-            vol = bev.reshape(b, ver.bev_z, ver.bev_h, ver.bev_w,
-                              ver.embed_dims).transpose(0, 4, 1, 2, 3)
-            for i, token in enumerate(batch["token"]):
-                if token in outf:
-                    del outf[token]
-                outf.create_dataset(token, data=vol[i], compression="gzip")
-                written += 1
-    print(f"wrote {written} VER volumes to {savename}")
+    # pipelined product path: dispatch/fetch overlap + writer thread
+    # (vln_ver_tpu/ver_writer.py; --serial keeps the naive oracle loop —
+    # identical bytes, tests/test_get_occ_pipeline.py)
+    from vln_ver_tpu.ver_writer import dump_volumes
+    res = dump_volumes(bev_only, params, ver, dataset, savename,
+                       batch_size=args.batch_size, indices=indices,
+                       gzip_level=args.gzip_level, serial=args.serial,
+                       mesh=mesh)
+    print(f"wrote {res['written']} VER volumes to {savename}")
+    print(f"e2e: {res['written']} volumes in {res['seconds']:.2f}s = "
+          f"{res['volumes_per_sec']:.2f} volumes/s "
+          f"(data load -> HDF5 bytes on disk)")
+    if res["sca_overflow"] > 0:
+        raise SystemExit(
+            f"sca_query_capacity overflow: {res['sca_overflow']} visible "
+            "queries beyond capacity in the worst camera slot — the "
+            "dumped volumes are NOT exact. Validate with "
+            "tools/check_query_capacity.py and raise "
+            "model.sca_query_capacity, then regenerate.")
 
 
 if __name__ == "__main__":

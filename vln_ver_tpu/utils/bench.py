@@ -32,18 +32,28 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
         pass
 
 
-def scan_diff_time(make_fn: Callable[[int], Callable], args: tuple,
-                   iters: int, warmup: int = 2,
-                   base_len: int = 2, repeats: int = 3) -> float:
-    """Seconds per iteration of the scanned body.
+def scan_diff_time_stats(make_fn: Callable[[int], Callable], args: tuple,
+                         iters: int, warmup: int = 2,
+                         base_len: int = 2, repeats: int = 5) -> dict:
+    """Per-iteration time of the scanned body, with dispersion.
 
     ``make_fn(n)`` must return a jitted callable running the body ``n``
     times inside one program and returning a scalar (fetched to force
-    completion).  Timing = (min t(base+iters) - min t(base)) / iters over
-    ``repeats`` timed fetches of each program: the tunnel adds tens of ms
-    of noisy RTT per fetch, and the min is the standard noise-robust
-    estimate of the true device time (a single-sample difference was
-    observed to swing the reported throughput by ~20%).
+    completion).  The per-iteration estimate is
+    ``(min t(base+iters) - min t(base)) / iters`` over ``repeats`` timed
+    fetches of each program: the tunnel adds tens of ms of noisy RTT per
+    fetch, and the min is the standard noise-robust estimate of the true
+    device time (a single-sample difference was observed to swing the
+    reported throughput by ~20%).
+
+    Returns a dict:
+      sec_per_iter    — the min-based estimate (the headline number)
+      sec_per_iter_med— median-based variant (robust to one lucky min)
+      spread          — (max - min) of the per-sample long-program
+                        estimates divided by the headline, i.e. the
+                        relative dispersion window any round-over-round
+                        comparison must beat before it means anything
+      samples         — the raw per-sample long-program per-iter times
     """
     import numpy as np
 
@@ -60,7 +70,23 @@ def scan_diff_time(make_fn: Callable[[int], Callable], args: tuple,
 
     t_short = min(timed(short)[0] for _ in range(repeats))
     samples = [timed(long_) for _ in range(repeats)]
-    t_long = min(t for t, _ in samples)
+    t_longs = [t for t, _ in samples]
     out = samples[-1][1]
     assert np.isfinite(out), out
-    return max(t_long - t_short, 1e-6) / iters
+    per_iter = [max(t - t_short, 1e-6) / iters for t in t_longs]
+    best = min(per_iter)
+    return dict(
+        sec_per_iter=best,
+        sec_per_iter_med=float(np.median(per_iter)),
+        spread=(max(per_iter) - best) / best,
+        samples=per_iter,
+    )
+
+
+def scan_diff_time(make_fn: Callable[[int], Callable], args: tuple,
+                   iters: int, warmup: int = 2,
+                   base_len: int = 2, repeats: int = 3) -> float:
+    """Seconds per iteration (min-based) — see scan_diff_time_stats."""
+    return scan_diff_time_stats(make_fn, args, iters, warmup=warmup,
+                                base_len=base_len,
+                                repeats=repeats)["sec_per_iter"]
