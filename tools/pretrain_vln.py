@@ -56,6 +56,12 @@ def parse_args():
                    help="msgpack from tools/convert_crossmodal.py; "
                         "pretraining starts from LXMERT/DUET x-layers")
     p.add_argument("--embed-dims", type=int, default=None)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel updates over N local devices "
+                        "(params replicated, the decision-step batch "
+                        "sharded; math-identical to single-device — "
+                        "tests/test_agent_mesh.py); --batch must divide "
+                        "by N")
     p.add_argument("--work-dir", default="work_dirs/vln_pre")
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
@@ -108,6 +114,21 @@ def main():
     print(f"offline dataset: {len(records)} decision steps from "
           f"{len(episodes)} episodes")
 
+    mesh = None
+    if args.mesh:
+        # the reference's distributed core is DDP training
+        # (apis/mmdet_train.py:76-86) — same recipe here via GSPMD:
+        # replicated params, batch sharded over 'data', gradient
+        # all-reduce inserted by XLA (agent/parallel.py)
+        from vln_ver_tpu.agent.parallel import (make_agent_mesh,
+                                                replicate_agent)
+        if args.batch % args.mesh:
+            raise SystemExit(f"--batch {args.batch} must divide by "
+                             f"--mesh {args.mesh}")
+        mesh = make_agent_mesh(args.mesh)
+        params = replicate_agent(mesh, params)
+        print(f"data-parallel mesh: {args.mesh} devices")
+
     tx = optax.chain(optax.clip_by_global_norm(40.0),
                      optax.adamw(args.lr))
     opt_state = tx.init(params)
@@ -129,6 +150,9 @@ def main():
     for step in range(1, args.steps + 1):
         idx = rng.integers(0, len(records), args.batch)
         batch = stack_records([records[i] for i in idx])
+        if mesh is not None:
+            from vln_ver_tpu.agent.parallel import shard_agent_batch
+            batch = shard_agent_batch(mesh, batch)
         key, sub = jax.random.split(key)
         params, opt_state, loss, parts = update(params, opt_state, batch,
                                                 sub)

@@ -57,6 +57,13 @@ def parse_args():
                    help="decision steps per optimizer update (rollout "
                         "steps are buffered and stacked — one jitted "
                         "update per batch instead of per step)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel updates over N local devices "
+                        "(params replicated, the stacked decision-step "
+                        "batch sharded; math-identical — "
+                        "tests/test_agent_mesh.py); --update-batch must "
+                        "divide by N; rollouts stay single-device "
+                        "(host-side episode stepping)")
     p.add_argument("--work-dir", default="work_dirs/vln")
     p.add_argument("--embed-dims", type=int, default=None)
     p.add_argument("--text-init", default=None,
@@ -161,6 +168,20 @@ def main():
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"policy params: {n_params/1e6:.2f}M, episodes: {len(episodes)}")
 
+    mesh = None
+    if args.mesh:
+        # DDP-equivalent updates (the reference's distributed core,
+        # apis/mmdet_train.py:76-86): replicated params, sharded batch,
+        # GSPMD gradient all-reduce (agent/parallel.py)
+        from vln_ver_tpu.agent.parallel import (make_agent_mesh,
+                                                replicate_agent)
+        if args.update_batch % args.mesh:
+            raise SystemExit(f"--update-batch {args.update_batch} must "
+                             f"divide by --mesh {args.mesh}")
+        mesh = make_agent_mesh(args.mesh)
+        params = replicate_agent(mesh, params)
+        print(f"data-parallel mesh: {args.mesh} devices")
+
     tx = optax.chain(optax.clip_by_global_norm(40.0), optax.adamw(args.lr))
     opt_state = tx.init(params)
 
@@ -207,8 +228,11 @@ def main():
         while len(buffer) >= args.update_batch and step < args.steps:
             chunk, buffer = (buffer[:args.update_batch],
                              buffer[args.update_batch:])
-            params, opt_state, loss, aux = update(
-                params, opt_state, stack_records(chunk))
+            ub = stack_records(chunk)
+            if mesh is not None:
+                from vln_ver_tpu.agent.parallel import shard_agent_batch
+                ub = shard_agent_batch(mesh, ub)
+            params, opt_state, loss, aux = update(params, opt_state, ub)
             losses.append(float(loss))
             step += len(chunk)
             if (step // args.update_batch) % 5 == 0:

@@ -384,7 +384,8 @@ class MultiheadAttention(nn.Module):
             num_heads=self.num_heads, qkv_features=self.embed_dims,
             out_features=self.embed_dims, dropout_rate=self.dropout_rate,
             dtype=self.dtype, name="attn")(
-                query, key, value, deterministic=deterministic)
+                query, inputs_k=key, inputs_v=value,
+                deterministic=deterministic)
         out = nn.Dropout(self.dropout_rate)(out,
                                             deterministic=deterministic)
         return out + identity
