@@ -140,14 +140,27 @@ class SpatialCrossAttention(nn.Module):
         inp_residual = query
         slots = torch.zeros_like(query)
         D = reference_points_cam.size(3)
-        indexes = [m[0].sum(-1).nonzero().squeeze(-1) for m in bev_mask]
-        max_len = max(max(len(i) for i in indexes), 1)
+        if getattr(self, "batch_correct", False):
+            # batch-correct semantics: per-SAMPLE visible-query indexes.
+            # The reference takes every sample's indexes from sample 0
+            # (spatial_cross_attention.py:130) — only well-defined at
+            # bs=1, which is all its recipe runs (samples_per_gpu=1).
+            # Our masked-dense/sparse-lift SCA is per-sample by
+            # construction, so the bs>1 oracle must be too.
+            idx_jc = [[bev_mask[i][j].sum(-1).nonzero().squeeze(-1)
+                       for i in range(self.num_cams)] for j in range(bs)]
+        else:
+            idx_row = [m[0].sum(-1).nonzero().squeeze(-1)
+                       for m in bev_mask]
+            idx_jc = [idx_row] * bs
+        max_len = max(max(len(i) for i in row) for row in idx_jc)
+        max_len = max(max_len, 1)
         q_rb = query.new_zeros(bs, self.num_cams, max_len, c)
         r_rb = reference_points_cam.new_zeros(
             bs, self.num_cams, max_len, D, 2)
         for j in range(bs):
             for i, refs in enumerate(reference_points_cam):
-                idx = indexes[i]
+                idx = idx_jc[j][i]
                 q_rb[j, i, :len(idx)] = query[j, idx]
                 r_rb[j, i, :len(idx)] = refs[j, idx]
         num_cams, l, bs_, _ = key.shape
@@ -157,7 +170,8 @@ class SpatialCrossAttention(nn.Module):
             r_rb.view(bs * self.num_cams, max_len, D, 2),
             spatial_shapes).view(bs, self.num_cams, max_len, c)
         for j in range(bs):
-            for i, idx in enumerate(indexes):
+            for i in range(self.num_cams):
+                idx = idx_jc[j][i]
                 slots[j, idx] += out[j, i, :len(idx)]
         count = bev_mask.sum(-1) > 0
         count = count.permute(1, 2, 0).sum(-1).clamp(min=1.0)
@@ -508,6 +522,14 @@ class OracleHead(nn.Module):
 
         # occupancy branch, refine_occ (head:554-580) — raw .views verbatim
         bev_for_occ = bev_embed
+        if getattr(self, "batch_correct", False):
+            # batch-correct semantics: the reference reshapes the
+            # (bev_num, bs, C) buffer straight to (bs, C, Z, H, W)
+            # (head:558) — a cross-SAMPLE scramble at bs>1, benign only
+            # at bs=1.  Per-sample semantics = make the batch axis lead
+            # first, THEN reinterpret each sample's flat (bev_num*C)
+            # buffer — exactly our head's occ_layout='ref' path.
+            bev_for_occ = bev_embed.permute(1, 0, 2).contiguous()
         if cfg.refine_occ:
             t = bev_for_occ.reshape(bs, cfg.embed_dims, cfg.bev_z,
                                     cfg.bev_h, cfg.bev_w)
@@ -701,6 +723,17 @@ def oracle_loss(cfg: VERConfig, outs, batch):
         float(num_occ), loss_weight=cfg.loss_occ_weight))
     loss_dict["loss_flow"] = torch.zeros(())
     return loss_dict
+
+
+def set_batch_correct(oracle: nn.Module):
+    """Switch the oracle to batch-correct bs>1 semantics: per-sample SCA
+    rebatch indexes and per-sample occ buffer reinterpretation (see the
+    two ``batch_correct`` branches).  The reference function itself is
+    only well-defined at bs=1; this variant defines what a batch-correct
+    reference WOULD compute — which is what vln_ver_tpu computes."""
+    for m in oracle.modules():
+        m.batch_correct = True
+    return oracle
 
 
 def zero_dropout(module: nn.Module):
