@@ -65,8 +65,9 @@ def test_forward_only_bev():
     batch = _tiny_batch()
     params = model.init(jax.random.PRNGKey(0), *batch)
     outs = model.apply(params, *batch, only_bev=True)
-    assert set(outs) == {"bev_embed"}
+    assert set(outs) == {"bev_embed", "sca_overflow"}
     assert outs["bev_embed"].shape == (1, TINY.bev_num, TINY.embed_dims)
+    assert int(outs["sca_overflow"]) == 0  # dense lift never drops
 
 
 def test_forward_add_layout():

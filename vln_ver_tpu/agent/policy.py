@@ -80,15 +80,14 @@ class _FusionBlock(nn.Module):
             y = nn.MultiHeadDotProductAttention(
                 num_heads=cfg.num_heads, qkv_features=cfg.embed_dims,
                 dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
-                name="cross_attn")(x, inputs_k=text, inputs_v=text,
-                                   mask=ca_mask,
+                name="cross_attn")(x, inputs_k=text, mask=ca_mask,
                                    deterministic=deterministic)
             y = nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
             x = nn.LayerNorm(dtype=cfg.dtype, name="ln_ca")(x + y)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=cfg.num_heads, qkv_features=cfg.embed_dims,
                 dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
-                name="self_attn")(x, inputs_k=x, inputs_v=x, mask=sa_mask,
+                name="self_attn")(x, inputs_k=x, mask=sa_mask,
                                   deterministic=deterministic)
             y = nn.Dropout(cfg.dropout_rate)(y, deterministic=deterministic)
             x = nn.LayerNorm(dtype=cfg.dtype, name="ln_sa")(x + y)
@@ -101,7 +100,7 @@ class _FusionBlock(nn.Module):
         y = nn.MultiHeadDotProductAttention(
             num_heads=cfg.num_heads, qkv_features=cfg.embed_dims,
             dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
-            name="self_attn")(y, inputs_k=y, inputs_v=y, mask=sa_mask,
+            name="self_attn")(y, inputs_k=y, mask=sa_mask,
                               deterministic=deterministic)
         x = x + y
         ca_mask = text_mask[:, None, None, :]
@@ -109,8 +108,7 @@ class _FusionBlock(nn.Module):
         y = nn.MultiHeadDotProductAttention(
             num_heads=cfg.num_heads, qkv_features=cfg.embed_dims,
             dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
-            name="cross_attn")(y, inputs_k=text, inputs_v=text,
-                               mask=ca_mask,
+            name="cross_attn")(y, inputs_k=text, mask=ca_mask,
                                deterministic=deterministic)
         x = x + y
         y = nn.LayerNorm(dtype=cfg.dtype, name="ln_ffn")(x)

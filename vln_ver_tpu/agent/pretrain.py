@@ -97,7 +97,7 @@ class VLNPretrainModel(nn.Module):
         x_loc, text_feats, _ = self.policy.local_fusion(
             masked_tokens, text_mask, volume, vol_tokens=vol_tokens,
             deterministic=deterministic)
-        y = self.mlm_cross(text_feats, inputs_k=x_loc, inputs_v=x_loc,
+        y = self.mlm_cross(text_feats, inputs_k=x_loc,
                            deterministic=deterministic)
         h = self.mlm_ln(text_feats + y)
         h = nn.gelu(self.mlm_dense(h))

@@ -59,8 +59,7 @@ class TextEncoder(nn.Module):
                 y = nn.MultiHeadDotProductAttention(
                     num_heads=self.num_heads, qkv_features=self.embed_dims,
                     dropout_rate=self.dropout_rate, dtype=self.dtype,
-                    name=f"attn_{i}")(y, inputs_k=y, inputs_v=y,
-                                      mask=attn_mask,
+                    name=f"attn_{i}")(y, inputs_k=y, mask=attn_mask,
                                       deterministic=deterministic)
                 x = x + y
                 y = nn.LayerNorm(dtype=self.dtype, name=f"ln2_{i}")(x)
@@ -76,8 +75,7 @@ class TextEncoder(nn.Module):
                 y = nn.MultiHeadDotProductAttention(
                     num_heads=self.num_heads, qkv_features=self.embed_dims,
                     dropout_rate=self.dropout_rate, dtype=self.dtype,
-                    name=f"attn_{i}")(x, inputs_k=x, inputs_v=x,
-                                      mask=attn_mask,
+                    name=f"attn_{i}")(x, inputs_k=x, mask=attn_mask,
                                       deterministic=deterministic)
                 y = nn.Dropout(self.dropout_rate)(
                     y, deterministic=deterministic)

@@ -46,7 +46,6 @@ class VERTokenizer(nn.Module):
             num_heads=8, qkv_features=self.embed_dims, dtype=self.dtype,
             dropout_rate=self.dropout_rate, name="pool_attn")(
                 q, inputs_k=volume.astype(self.dtype),
-                inputs_v=volume.astype(self.dtype),
                 deterministic=deterministic)
         tokens = jnp.concatenate([slice_tokens.astype(self.dtype), pooled],
                                  axis=1)

@@ -380,12 +380,14 @@ class MultiheadAttention(nn.Module):
             query = query + query_pos
         if key_pos is not None:
             key = key + key_pos
+        # pass inputs_v only when it differs from key: flax warns on any
+        # explicit square-last-two-dims inputs_v (mask-confusion guard)
+        vkw = {} if value is key else {"inputs_v": value}
         out = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.embed_dims,
             out_features=self.embed_dims, dropout_rate=self.dropout_rate,
             dtype=self.dtype, name="attn")(
-                query, inputs_k=key, inputs_v=value,
-                deterministic=deterministic)
+                query, inputs_k=key, deterministic=deterministic, **vkw)
         out = nn.Dropout(self.dropout_rate)(out,
                                             deterministic=deterministic)
         return out + identity

@@ -70,7 +70,7 @@ class ViT(nn.Module):
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, qkv_features=self.embed_dims,
                 out_features=self.embed_dims, dtype=self.dtype,
-                name=f"attn_{i}")(y, inputs_k=y, inputs_v=y)
+                name=f"attn_{i}")(y, inputs_k=y)
             x = x + y
             y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                              name=f"ln2_{i}")(x)
