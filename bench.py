@@ -155,8 +155,12 @@ def main():
 
         here = os.path.dirname(os.path.abspath(__file__))
         n_vol = int(os.environ.get("BENCH_E2E_VOLUMES", "32"))
+        # shape-stamped cache dir: a config change can't silently reuse a
+        # stale on-disk dataset with the wrong shapes
+        tag = (f"e2e_c{cfg.num_cams}_f{cfg.feat_h}x{cfg.in_channels}"
+               f"_n{n_vol}")
         ds = _e2e_dataset(cfg, n_vol, os.path.join(here, ".bench_data",
-                                                   "e2e_36view"))
+                                                   tag))
 
         @jax.jit
         def bev_only(params, feats, w2p, shift):
@@ -168,11 +172,12 @@ def main():
         out_h5 = os.path.join(tempfile.mkdtemp(prefix="bench_e2e_"),
                               "ver.hdf5")
         # warm the program (compile/cache-load) outside the timed loop,
-        # as the forward bench does
+        # as the forward bench does — with the SAME input dtype the dump
+        # uses (ver_writer auto-casts features to the compute dtype)
         s0 = ds[0]
         np.asarray(bev_only(params, np.repeat(
-            s0["features"][None], batch, 0), np.repeat(
-            s0["world2pixel"][None], batch, 0), np.repeat(
+            s0["features"][None], batch, 0).astype(jnp.bfloat16),
+            np.repeat(s0["world2pixel"][None], batch, 0), np.repeat(
             s0["origin_shift"][None], batch, 0))[0])
         res = dump_volumes(bev_only, params, cfg, ds, out_h5,
                            batch_size=batch)

@@ -75,6 +75,39 @@ def test_pipelined_dump_matches_serial(setup, tmp_path):
                                   cfg.bev_w)
 
 
+def test_pipelined_dump_matches_serial_bf16_autocast(setup, tmp_path):
+    """With a bf16 compute config, ver_writer auto-casts features to bf16
+    before the host->device transfer (it is the dominant tunnel cost).
+    Serial and pipelined paths share the cast, so bytes stay identical."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg, dataset, _, _ = setup
+    bcfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    model = VoxelFormer(bcfg)
+    s0 = dataset[0]
+    params = model.init(jax.random.PRNGKey(0), s0["features"][None],
+                        s0["world2pixel"][None], s0["origin_shift"][None])
+
+    @jax.jit
+    def bev_only(params, feats, w2p, shift):
+        outs = model.apply(params, feats, w2p, shift, deterministic=True,
+                           only_bev=True)
+        return outs["bev_embed"], outs["sca_overflow"]
+
+    a, b = str(tmp_path / "serial16.h5"), str(tmp_path / "pipe16.h5")
+    r1 = dump_volumes(bev_only, params, bcfg, dataset, a, batch_size=2,
+                      serial=True)
+    r2 = dump_volumes(bev_only, params, bcfg, dataset, b, batch_size=2,
+                      serial=False)
+    assert r1["written"] == r2["written"] == len(dataset)
+    va, vb = _read_all(a), _read_all(b)
+    for k in va:
+        np.testing.assert_array_equal(va[k][0], vb[k][0])
+        assert va[k][1] == np.float32  # dump schema stays fp32
+
+
 def test_dump_reports_overflow(setup, tmp_path):
     import dataclasses
 

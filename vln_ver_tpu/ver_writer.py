@@ -1,23 +1,32 @@
 """VER volume dump — the pipelined product path (SURVEY.md §3.3).
 
 The reference's dump loop (voxelformer_occupancy_head.py:627-638 driven by
-tools/test.py's batch loop) serializes three stages per batch: device
-compute, the device->host fetch, and gzip+HDF5 write.  On the axon TPU
-backend the fetch blocks on a tunnel with real RTT and the host has one
-core, so the naive loop runs at a fraction of the device's forward rate.
+tools/test.py's batch loop) serializes four stages per batch: the HDF5
+feature read, the host->device input transfer, device compute + the
+device->host fetch, and gzip+HDF5 write.  On the axon TPU backend the
+transfers ride a tunnel with real RTT and limited bandwidth (measured
+~34 MB/s) and the host has one core, so the naive loop runs at a small
+fraction of the device's forward rate — and the INPUT transfer dominates:
+36 ViT views are 21.7 MB fp32 per volume, vs 1.4 MB bf16 of output.
 
-:func:`dump_volumes` overlaps the stages:
+:func:`dump_volumes` overlaps and shrinks the stages:
 
+* the dataset iterator prefetches HDF5 reads on its own thread
+  (data.mp3d.iterate_batches);
+* a TRANSFER thread casts features to the model's compute dtype
+  (``input_cast``, default bf16 — the encoder casts to ``cfg.dtype``
+  in-graph anyway, so uploading fp32 pays 2x bytes for bits the model
+  immediately rounds away) and device_puts batch k+1 while batch k
+  computes;
 * batch k+1 is DISPATCHED (async on the remote backend) before batch k's
   fetch blocks — device compute hides behind the host work;
 * gzip + HDF5 writes run on a writer thread that exclusively owns the
-  output file (h5py has no concurrent writers), bounded by a small queue;
-* the dataset iterator already prefetches on its own thread
-  (data.mp3d.iterate_batches).
+  output file (h5py has no concurrent writers), bounded by a small queue.
 
 Write order, dataset names, dtype, and bytes are identical to the serial
-loop (``serial=True`` keeps the naive ordering as the oracle —
-tests/test_get_occ_pipeline.py proves file equality).
+loop given the same ``input_cast`` (``serial=True`` keeps the naive
+ordering as the oracle — tests/test_get_occ_pipeline.py proves file
+equality).
 
 The capacity-bounded sparse lift's ``sca_overflow`` guard is accumulated
 ON DEVICE across batches (no per-batch fetch RTT) and returned once.
@@ -28,16 +37,25 @@ from __future__ import annotations
 import queue as queue_mod
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 
 def dump_volumes(bev_only, params, ver, dataset, savename: str,
                  batch_size: int = 1, indices=None,
                  gzip_level: int = 4, serial: bool = False,
-                 mesh=None) -> dict:
+                 mesh=None, input_cast="auto") -> dict:
     """Run ``bev_only(params, feats, w2p, shift) -> (bev, overflow)`` over
     ``dataset`` and append each volume to ``savename`` (HDF5, key=token,
     gzip) in the reference dump schema.
+
+    ``input_cast``: dtype the features are cast to BEFORE the host->device
+    transfer.  Default "auto" = the model's compute dtype (``ver.dtype``)
+    when it is narrower than fp32, else no cast: the model's first touch
+    of the features is a cast to ``cfg.dtype`` in-graph, so pre-casting
+    changes no math in a bf16 pipeline while halving the dominant
+    transfer; fp32-compute configs keep fp32 bytes.  Pass None to force
+    no cast.
 
     Returns ``dict(written, seconds, volumes_per_sec, sca_overflow)``.
     Raises nothing on overflow — the CALLER decides (tools/get_occ.py
@@ -52,6 +70,12 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
 
     if mesh is not None:
         from .parallel import pad_and_shard
+
+    if input_cast == "auto":
+        dt = jnp.dtype(getattr(ver, "dtype", jnp.float32))
+        cast = dt if dt.itemsize < 4 else None
+    else:
+        cast = jnp.dtype(input_cast) if input_cast is not None else None
 
     write_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
     werr: list = []
@@ -88,6 +112,25 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
         wt = threading.Thread(target=writer, daemon=True)
         wt.start()
 
+    def prep(batch):
+        """Host->device staging for one batch (runs on the transfer
+        thread in pipelined mode): cast + device_put/shard."""
+        feats, w2p, shift = (batch["features"], batch["world2pixel"],
+                             batch["origin_shift"])
+        real = feats.shape[0]
+        if cast is not None:
+            feats = np.asarray(feats).astype(cast)
+        if mesh is not None:
+            # pad short batches to the ONE compiled batch shape
+            s, real = pad_and_shard(
+                mesh, {"features": feats, "world2pixel": w2p,
+                       "origin_shift": shift}, batch_size)
+            args = (s["features"], s["world2pixel"], s["origin_shift"])
+        else:
+            args = (jax.device_put(feats), jax.device_put(w2p),
+                    jax.device_put(shift))
+        return args, list(batch["token"]), real
+
     def fetch_vol(pending):
         bev_dev, tokens, real = pending
         bev = np.asarray(bev_dev)[:real]   # blocks on the tunnel fetch
@@ -108,29 +151,40 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
     pending = None
     overflow_dev = None
     serial_file = h5py.File(savename, "a") if serial else None
+    transfer = None if serial else ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="ver_transfer")
     try:
-        for batch in iterate_batches(dataset, batch_size,
-                                     indices=indices, drop_last=False):
-            feats, w2p, shift = (batch["features"], batch["world2pixel"],
-                                 batch["origin_shift"])
-            real = feats.shape[0]
-            if mesh is not None:
-                # pad short batches to the ONE compiled batch shape
-                s, real = pad_and_shard(
-                    mesh, {"features": feats, "world2pixel": w2p,
-                           "origin_shift": shift}, batch_size)
-                feats, w2p, shift = (s["features"], s["world2pixel"],
-                                     s["origin_shift"])
-            bev_dev, ovf = bev_only(params, feats, w2p, shift)  # async
+        it = iterate_batches(dataset, batch_size, indices=indices,
+                             drop_last=False)
+        staged = None  # future for the next prepared batch
+        while True:
+            if serial:
+                batch = next(it, None)
+                if batch is None:
+                    break
+                args, tokens, real = prep(batch)
+            else:
+                if staged is None:
+                    batch = next(it, None)
+                    if batch is None:
+                        break
+                    staged = transfer.submit(prep, batch)
+                args, tokens, real = staged.result()
+                nxt = next(it, None)
+                staged = (transfer.submit(prep, nxt)
+                          if nxt is not None else None)
+            bev_dev, ovf = bev_only(params, *args)  # async dispatch
             overflow_dev = (ovf if overflow_dev is None
                             else jnp.maximum(overflow_dev, ovf))
-            item = (bev_dev, list(batch["token"]), real)
+            item = (bev_dev, tokens, real)
             if serial:
                 _write(serial_file, *fetch_vol(item))
             else:
                 if pending is not None:
                     fetch_and_enqueue(pending)
                 pending = item
+                if staged is None:
+                    break
         if not serial:
             if pending is not None:
                 fetch_and_enqueue(pending)
@@ -141,6 +195,8 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
     finally:
         if serial_file is not None:
             serial_file.close()
+        if transfer is not None:
+            transfer.shutdown(wait=False)
     dt = time.perf_counter() - t0
     overflow = (int(jax.device_get(overflow_dev))
                 if overflow_dev is not None else 0)
