@@ -179,6 +179,12 @@ def main():
             s0["features"][None], batch, 0).astype(jnp.bfloat16),
             np.repeat(s0["world2pixel"][None], batch, 0), np.repeat(
             s0["origin_shift"][None], batch, 0))[0])
+        # steady-state measurement: one untimed pass warms the page cache
+        # (the synthetic dataset is freshly written on first run) and the
+        # writer/transfer threads, then the timed pass — the production
+        # loop streams continuously, so steady state is the honest rate
+        dump_volumes(bev_only, params, cfg, ds, out_h5, batch_size=batch)
+        os.remove(out_h5)
         res = dump_volumes(bev_only, params, cfg, ds, out_h5,
                            batch_size=batch)
         e2e_vps = res["volumes_per_sec"]
