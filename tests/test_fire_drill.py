@@ -26,7 +26,8 @@ def test_fire_drill_synthetic(tmp_path):
     out = r.stdout + r.stderr
     assert r.returncode == 0, out[-4000:]
     assert "all stages green" in out, out[-4000:]
-    for stage in ("contract", "capacity", "eval", "dump", "vln"):
+    for stage in ("contract", "capacity", "convert", "eval", "dump",
+                  "vln"):
         assert f"{stage}: PASS" in out, (stage, out[-4000:])
     # the dump stage left a real artifact
     assert (tmp_path / "drill" / "ver.hdf5").exists()

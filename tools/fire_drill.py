@@ -177,15 +177,24 @@ def main():
         ok, tail = _run(cmd, f"{args.work_dir}/capacity.log")
         record("capacity", ok, tail)
 
-    # 3. reference checkpoint conversion (optional)
-    if args.torch_ckpt and "convert" not in args.skip:
-        out = os.path.join(args.work_dir, "converted_ckpt")
-        ok, tail = _run([f"{HERE}/convert_voxelformer.py", args.config,
-                         "--torch-ckpt", args.torch_ckpt, "--out", out],
-                        f"{args.work_dir}/convert.log")
-        record("convert", ok, tail)
-        if ok and not ckpt:
-            ckpt = out
+    # 3. reference checkpoint conversion; without a .pth the drill still
+    # proves the conversion machinery via the random-init torch-oracle
+    # selftest (convert_voxelformer --selftest)
+    if "convert" not in args.skip:
+        if args.torch_ckpt:
+            out = os.path.join(args.work_dir, "converted_ckpt")
+            ok, tail = _run([f"{HERE}/convert_voxelformer.py", args.config,
+                             "--torch-ckpt", args.torch_ckpt,
+                             "--out", out],
+                            f"{args.work_dir}/convert.log")
+            record("convert", ok, tail)
+            if ok and not ckpt:
+                ckpt = out
+        elif args.synthetic:
+            ok, tail = _run([f"{HERE}/convert_voxelformer.py", args.config,
+                             "--selftest"],
+                            f"{args.work_dir}/convert.log")
+            record("convert", ok, tail)
 
     # 4. eval: SSC mIoU + indoor mAP
     if "eval" not in args.skip:
