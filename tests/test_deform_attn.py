@@ -6,6 +6,7 @@ reference's pure-PyTorch fallbacks (bilinear/trilinear ``F.grid_sample`` with
 sum) — see voxel_temporal_self_attention.py:275-335.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -148,3 +149,40 @@ def test_voxel_deform_attn_3d_matches_torch():
     exp = torch_msda_3d(torch.from_numpy(v), shapes, torch.from_numpy(locs),
                         torch.from_numpy(wsm)).numpy()
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_voxel_deform_attn_3d_onehot_matches_gather():
+    """The decoder's MXU one-hot 3D sampling (round 4: the gather path
+    was 97.6% of decoder cost, tools/probe_decoder.py) is exact vs the
+    gather oracle — forward AND grads, including out-of-range taps
+    (all-zero one-hot rows == grid_sample zero padding)."""
+    from vln_ver_tpu.ops import voxel_deform_attn_3d_onehot
+
+    rng = np.random.default_rng(5)
+    bs, heads, dim, nq, pts = 2, 8, 96, 100, 4
+    shapes = [(4, 15, 15)]
+    nv = sum(d * h * w for d, h, w in shapes)
+    v = rng.standard_normal((bs, nv, heads, dim)).astype(np.float32)
+    locs = rng.uniform(-0.1, 1.1, (bs, nq, heads, 1, pts, 3)).astype(
+        np.float32)
+    wraw = rng.standard_normal((bs, nq, heads, pts)).astype(np.float32)
+    wsm = (np.exp(wraw) / np.exp(wraw).sum(-1, keepdims=True)).reshape(
+        bs, nq, heads, 1, pts)
+    args = (jnp.asarray(v), shapes, jnp.asarray(locs), jnp.asarray(wsm))
+    got = np.asarray(voxel_deform_attn_3d_onehot(*args))
+    exp = np.asarray(voxel_deform_attn_3d(*args))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+    def loss_onehot(v_, l_, w_):
+        return jnp.sum(voxel_deform_attn_3d_onehot(v_, shapes, l_, w_)**2)
+
+    def loss_gather(v_, l_, w_):
+        return jnp.sum(voxel_deform_attn_3d(v_, shapes, l_, w_)**2)
+
+    g1 = jax.grad(loss_onehot, argnums=(0, 1, 2))(
+        jnp.asarray(v), jnp.asarray(locs), jnp.asarray(wsm))
+    g2 = jax.grad(loss_gather, argnums=(0, 1, 2))(
+        jnp.asarray(v), jnp.asarray(locs), jnp.asarray(wsm))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -32,6 +32,9 @@ def main():
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--skip", default="",
                    help="comma list of variants to skip")
+    p.add_argument("--impl", default="onehot",
+                   choices=["onehot", "gather"],
+                   help="3D deform sampling path in cross_attn")
     args = p.parse_args()
 
     from vln_ver_tpu.utils.platform import apply_platform_env
@@ -80,6 +83,7 @@ def main():
                     num_levels=c.num_levels,
                     num_points=c.decoder_num_points,
                     dropout_rate=c.dropout_rate, dtype=c.dtype,
+                    deform_impl=args.impl,
                     name="cross_attn")(q, v, ref, shapes, query_pos=qp,
                                        deterministic=True)
             q = nn.LayerNorm(dtype=c.dtype, name="norm2")(q)
@@ -126,7 +130,7 @@ def main():
                                   repeats=args.repeats)
         return st["sec_per_iter"] * 1e3, st["spread"]
 
-    out = {"batch": B}
+    out = {"batch": B, "impl": args.impl}
     skip = set(args.skip.split(",")) if args.skip else set()
     for drop in ("", "self", "cross", "ffn", "refine"):
         if drop in skip:

@@ -280,13 +280,18 @@ class SpatialCrossAttention(nn.Module):
 
 class VoxelDeformableAttention3D(nn.Module):
     """3D deformable cross-attention of object queries over the voxel grid
-    (reference VoxelCustomMSDeformableAttention, voxel_decoder.py:135-358)."""
+    (reference VoxelCustomMSDeformableAttention, voxel_decoder.py:135-358).
+
+    ``deform_impl='onehot'`` (default) samples via MXU one-hot matmuls —
+    the gather path was 97.6% of the decoder's cost on TPU
+    (tools/probe_decoder.py); 'gather' keeps the take_along_axis oracle."""
     embed_dims: int = 768
     num_heads: int = 8
     num_levels: int = 1
     num_points: int = 4
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    deform_impl: str = "onehot"   # 'gather' | 'onehot'
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, value: jnp.ndarray,
@@ -340,11 +345,23 @@ class VoxelDeformableAttention3D(nn.Module):
             # would attenuate features by a z-dependent 0.5-1.0 factor and
             # leak z gradients.  We keep the 3D offset parameterisation
             # (z component inert on this path) and sample bilinearly.
-            from ..ops import ms_deform_attn_2d
+            from ..ops import ms_deform_attn_2d, ms_deform_attn_2d_onehot
             shapes_2d = tuple((h, w) for (_, h, w) in spatial_shapes)
-            out = ms_deform_attn_2d(
-                value.astype(jnp.float32), shapes_2d,
-                locations[..., :2], attn).astype(self.dtype)
+            if self.deform_impl == "onehot":
+                out = ms_deform_attn_2d_onehot(
+                    value.astype(self.dtype), shapes_2d,
+                    locations[..., :2], attn).astype(self.dtype)
+            else:
+                out = ms_deform_attn_2d(
+                    value.astype(jnp.float32), shapes_2d,
+                    locations[..., :2], attn).astype(self.dtype)
+        elif self.deform_impl == "onehot":
+            from ..ops import voxel_deform_attn_3d_onehot
+            # A-matrices follow the compute dtype; the A@V contraction
+            # accumulates fp32 on the MXU (deform-accumulation invariant)
+            out = voxel_deform_attn_3d_onehot(
+                value.astype(self.dtype), spatial_shapes,
+                locations, attn).astype(self.dtype)
         else:
             out = voxel_deform_attn_3d(
                 value.astype(jnp.float32), spatial_shapes,

@@ -48,6 +48,10 @@ class DecoderLayer(nn.Module):
             embed_dims=cfg.embed_dims, num_heads=cfg.num_heads,
             num_levels=cfg.num_levels, num_points=cfg.decoder_num_points,
             dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+            # 'pallas' is an encoder-lift impl; the decoder's two paths
+            # are gather (oracle) and onehot (MXU, default)
+            deform_impl=("gather" if cfg.deform_impl == "gather"
+                         else "onehot"),
             name="cross_attn")(query, value, reference_points,
                                spatial_shapes, query_pos=query_pos,
                                deterministic=deterministic)

@@ -151,6 +151,82 @@ def ms_deform_attn_2d(value: jnp.ndarray,
                                              num_heads * head_dim)
 
 
+def voxel_deform_attn_3d_onehot(value: jnp.ndarray,
+                                spatial_shapes: Sequence[Tuple[int, int,
+                                                               int]],
+                                sampling_locations: jnp.ndarray,
+                                attention_weights: jnp.ndarray
+                                ) -> jnp.ndarray:
+    """MXU formulation of 3D deformable attention (trilinear taps).
+
+    Same contract as :func:`voxel_deform_attn_3d` (the gather oracle).
+    The decoder's cross-attention was 97.6% of its cost at the production
+    shape (tools/probe_decoder.py, b8: 10.31 of 10.56 ms) because
+    take_along_axis lowers to XLA gathers — poison on TPU.  As in the 2D
+    one-hot path, the trilinear taps become a dense per-(batch, head)
+    interpolation matrix applied with one matmul:
+
+        A[q, (z*H + y)*W + x] = sum_p w[q,p] * Z_p[q,z] * Y_p[q,y] * X_p[q,x]
+        out = A @ V                                          (MXU)
+
+    One-hot rows of out-of-range taps are all-zero, so grid_sample's zero
+    padding emerges naturally.  The per-point accumulation is an unrolled
+    fused elementwise outer product (an einsum over p lowers to tiny
+    matmuls — see ms_deform_attn_2d_onehot's note).
+    """
+    bs, _, num_heads, head_dim = value.shape
+    _, num_query = sampling_locations.shape[:2]
+    num_points = sampling_locations.shape[4]
+    starts = []
+    s = 0
+    for (d, h, w) in spatial_shapes:
+        starts.append(s)
+        s += d * h * w
+    assert s == value.shape[1], (s, value.shape)
+
+    out = jnp.zeros((bs, num_query, num_heads, head_dim), value.dtype)
+    for lvl, (d, h, w) in enumerate(spatial_shapes):
+        vl = value[:, starts[lvl]:starts[lvl] + d * h * w]
+        vl = vl.transpose(0, 2, 1, 3)                   # (bs, H, dhw, hd)
+        loc = sampling_locations[:, :, :, lvl]          # (bs,nq,H,P,3)
+        px = loc[..., 0] * w - 0.5
+        py = loc[..., 1] * h - 0.5
+        pz = loc[..., 2] * d - 0.5
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        z0 = jnp.floor(pz)
+        ax = (px - x0)[..., None]
+        ay = (py - y0)[..., None]
+        az = (pz - z0)[..., None]
+        ix = jnp.arange(w, dtype=px.dtype)
+        iy = jnp.arange(h, dtype=py.dtype)
+        iz = jnp.arange(d, dtype=pz.dtype)
+        X = ((ix == x0[..., None]) * (1 - ax)
+             + (ix == x0[..., None] + 1) * ax)          # (bs,nq,H,P,w)
+        Y = ((iy == y0[..., None]) * (1 - ay)
+             + (iy == y0[..., None] + 1) * ay)          # (bs,nq,H,P,h)
+        Z = ((iz == z0[..., None]) * (1 - az)
+             + (iz == z0[..., None] + 1) * az)          # (bs,nq,H,P,d)
+        wgt = attention_weights[:, :, :, lvl]           # (bs,nq,H,P)
+        cdt = value.dtype
+        prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        wz = (wgt[..., None] * Z).astype(cdt)           # (bs,nq,H,P,d)
+        Yc = Y.astype(cdt)
+        Xc = X.astype(cdt)
+        A = sum((wz[..., p, :, None, None]
+                 * Yc[..., p, None, :, None]
+                 * Xc[..., p, None, None, :])
+                for p in range(num_points))             # (bs,nq,H,d,h,w)
+        A = A.reshape(bs, num_query, num_heads, d * h * w)
+        pref = (jnp.float32 if jax.default_backend() != "cpu" else None)
+        out = out + jnp.einsum("bqhs,bhsd->bqhd", A, vl.astype(cdt),
+                               precision=prec,
+                               preferred_element_type=pref
+                               ).astype(value.dtype)
+    return out.reshape(bs, num_query, num_heads * head_dim)
+
+
 def voxel_deform_attn_3d(value: jnp.ndarray,
                          spatial_shapes: Sequence[Tuple[int, int, int]],
                          sampling_locations: jnp.ndarray,
