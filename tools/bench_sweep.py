@@ -58,8 +58,14 @@ def main():
                         f = feats + carry * jnp.bfloat16(0)
                         outs = model.apply(params, f, w2p, shift,
                                            deterministic=True)
+                        # sum EVERY head output, matching bench.py — a
+                        # bev+occ-only reduction lets XLA DCE the decoder
                         s = (jnp.sum(outs["bev_embed"].astype(jnp.float32))
                              + jnp.sum(outs["occupancy_preds"].astype(
+                                 jnp.float32))
+                             + jnp.sum(outs["all_cls_scores"].astype(
+                                 jnp.float32))
+                             + jnp.sum(outs["all_bbox_preds"].astype(
                                  jnp.float32)))
                         return s.astype(jnp.bfloat16), ()
                     s, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None,
