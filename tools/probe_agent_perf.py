@@ -34,7 +34,13 @@ def parse_args():
     p.add_argument("--batch", type=int, default=8,
                    help="episodes per lockstep rollout batch / decision "
                         "steps per update")
-    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--iters", type=int, default=8,
+                   help="scan length for the update parts (~6-8 ms each)")
+    p.add_argument("--fwd-iters", type=int, default=64,
+                   help="scan length for the forward-only policy step — "
+                        "it is ~0.3 ms/iter, so a short scan's diff "
+                        "drowns in tunnel fetch noise (8 iters measured "
+                        "an exact 0.0)")
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dispatch-steps", type=int, default=20,
@@ -103,7 +109,7 @@ def main():
                 return s
             return fn
         st = scan_diff_time_stats(make_fwd, (params, batch["volume"]),
-                                  args.iters, warmup=3,
+                                  args.fwd_iters, warmup=3,
                                   repeats=args.repeats)
         out["policy_step_ms"] = round(st["sec_per_iter"] * 1e3, 3)
         out["policy_step_spread"] = round(st["spread"], 4)
