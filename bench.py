@@ -194,13 +194,19 @@ def main():
         # the tunnel's rate moves session to session (measured 2.46 vs
         # 1.30 vol/s a day apart; tools/probe_tunnel.py measures the
         # bandwidth directly), so take 2 passes and report the dispersion.
-        dump_volumes(bev_only, params, cfg, ds, out_h5, batch_size=batch)
+        # BENCH_E2E_UPLOAD overrides the transfer dtype ("auto" = compute
+        # dtype, exact; "int8" = absmax-quantized upload, NOT exact —
+        # opt-in for transfer-bound deployments, tools/probe_upload_quant.py
+        # measures the output error)
+        upload = os.environ.get("BENCH_E2E_UPLOAD", "auto")
+        dump_volumes(bev_only, params, cfg, ds, out_h5, batch_size=batch,
+                     input_cast=upload)
         rates = []
         e2e_overflow = 0
         for _ in range(int(os.environ.get("BENCH_E2E_PASSES", "2"))):
             os.remove(out_h5)
             res = dump_volumes(bev_only, params, cfg, ds, out_h5,
-                               batch_size=batch)
+                               batch_size=batch, input_cast=upload)
             rates.append(res["volumes_per_sec"])
             e2e_overflow = max(e2e_overflow, res["sca_overflow"])
         e2e_vps = max(rates)

@@ -108,6 +108,48 @@ def test_pipelined_dump_matches_serial_bf16_autocast(setup, tmp_path):
         assert va[k][1] == np.float32  # dump schema stays fp32
 
 
+def test_int8_upload_close_and_deterministic(setup, tmp_path):
+    """``input_cast="int8"`` (opt-in, transfer-bound deployments) is the
+    one NON-exact upload mode: per-(sample, camera, channel) absmax
+    quantization bounds the input error at absmax/254 per element, and
+    the dumped volumes must stay close to the exact dump while keeping
+    the identical schema.  Serial vs pipelined int8 dumps stay
+    byte-identical (the quantization is deterministic host math)."""
+    cfg, dataset, params, bev_only = setup
+    a = str(tmp_path / "exact.h5")
+    b = str(tmp_path / "int8.h5")
+    c = str(tmp_path / "int8_serial.h5")
+    dump_volumes(bev_only, params, cfg, dataset, a, batch_size=2)
+    dump_volumes(bev_only, params, cfg, dataset, b, batch_size=2,
+                 input_cast="int8")
+    dump_volumes(bev_only, params, cfg, dataset, c, batch_size=2,
+                 input_cast="int8", serial=True)
+    va, vb, vc = _read_all(a), _read_all(b), _read_all(c)
+    assert sorted(va) == sorted(vb) == sorted(vc)
+    for k in va:
+        assert vb[k][1] == np.float32        # schema unchanged
+        np.testing.assert_array_equal(vb[k][0], vc[k][0])
+        ref, got = va[k][0], vb[k][0]
+        denom = np.abs(ref).max()
+        rel = np.abs(ref - got).max() / denom
+        assert rel < 5e-2, rel               # close, not exact
+        assert np.abs(ref - got).mean() / denom < 5e-3
+
+
+def test_quantize_int8_bound():
+    """The quantizer's advertised per-element error bound holds."""
+    from vln_ver_tpu.ver_writer import quantize_int8
+
+    rng = np.random.default_rng(0)
+    f = (rng.standard_normal((2, 3, 4, 5, 6)) *
+         rng.uniform(0.1, 30.0, (1, 3, 1, 1, 6))).astype(np.float32)
+    q, scale = quantize_int8(f)
+    assert q.dtype == np.int8 and scale.shape == (2, 3, 1, 1, 6)
+    err = np.abs(f - q.astype(np.float32) * scale)
+    absmax = np.abs(f).max(axis=(2, 3), keepdims=True)
+    assert np.all(err <= absmax / 254.0 + 1e-7)
+
+
 def test_dump_reports_overflow(setup, tmp_path):
     import dataclasses
 

@@ -39,6 +39,16 @@ def parse_args():
                    help="gzip compression level for the HDF5 datasets "
                         "(default 4 = h5py's default; the reference dump "
                         "schema requires gzip, not a particular level)")
+    p.add_argument("--upload-dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16", "int8"],
+                   help="dtype of the host->device feature transfer "
+                        "(the dominant e2e cost on transfer-bound "
+                        "deployments). 'auto' = the model's compute "
+                        "dtype (exact for a bf16 pipeline: the encoder "
+                        "casts in-graph anyway). 'int8' quantizes "
+                        "per (sample, camera, channel) with absmax "
+                        "scales and dequantizes on device — NOT exact; "
+                        "measured output error in docs/performance.md")
     p.add_argument("--serial", action="store_true",
                    help="disable the pipelined dump (dispatch/fetch "
                         "overlap + writer thread) — oracle path for "
@@ -129,7 +139,7 @@ def main():
     res = dump_volumes(bev_only, params, ver, dataset, savename,
                        batch_size=args.batch_size, indices=indices,
                        gzip_level=args.gzip_level, serial=args.serial,
-                       mesh=mesh)
+                       mesh=mesh, input_cast=args.upload_dtype)
     print(f"wrote {res['written']} VER volumes to {savename}")
     print(f"e2e: {res['written']} volumes in {res['seconds']:.2f}s = "
           f"{res['volumes_per_sec']:.2f} volumes/s "

@@ -17,7 +17,10 @@ fraction of the device's forward rate — and the INPUT transfer dominates:
   (``input_cast``, default bf16 — the encoder casts to ``cfg.dtype``
   in-graph anyway, so uploading fp32 pays 2x bytes for bits the model
   immediately rounds away) and device_puts batch k+1 while batch k
-  computes;
+  computes; ``input_cast="int8"`` instead quantizes per (sample,
+  camera, channel) with symmetric absmax scales and dequantizes
+  in-graph on device — NOT exact (opt-in; measured error in
+  docs/performance.md), but it halves the dominant transfer again;
 * batch k+1 is DISPATCHED (async on the remote backend) before batch k's
   fetch blocks — device compute hides behind the host work;
 * gzip + HDF5 writes run on a writer thread that exclusively owns the
@@ -41,6 +44,23 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 
+def quantize_int8(feats):
+    """Symmetric per-(sample, camera, channel) int8 quantization of a
+    (B, cams, fh, fw, C) feature batch: absmax over the spatial axes ->
+    ``scale = absmax / 127``; returns ``(q int8, scale fp32)`` with
+    ``scale`` shaped (B, cams, 1, 1, C) (~1% of the int8 payload).
+    Dequantization is ``q * scale`` in fp32 on device (see
+    :func:`dump_volumes`).  Error bound: |f - q*scale| <= absmax/254
+    per element within each (camera, channel) slab."""
+    import numpy as np
+
+    f = np.asarray(feats, dtype=np.float32)
+    absmax = np.max(np.abs(f), axis=(2, 3), keepdims=True)
+    scale = (np.maximum(absmax, 1e-12) / 127.0).astype(np.float32)
+    q = np.clip(np.rint(f / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
 def dump_volumes(bev_only, params, ver, dataset, savename: str,
                  batch_size: int = 1, indices=None,
                  gzip_level: int = 4, serial: bool = False,
@@ -55,7 +75,10 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
     of the features is a cast to ``cfg.dtype`` in-graph, so pre-casting
     changes no math in a bf16 pipeline while halving the dominant
     transfer; fp32-compute configs keep fp32 bytes.  Pass None to force
-    no cast.
+    no cast.  Pass ``"int8"`` for symmetric per-(sample, camera,
+    channel) absmax quantization with in-graph dequantization (fp32
+    multiply, then cast to the compute dtype) — the only NON-exact
+    option, for transfer-bound deployments; see :func:`quantize_int8`.
 
     Returns ``dict(written, seconds, volumes_per_sec, sca_overflow)``.
     Raises nothing on overflow — the CALLER decides (tools/get_occ.py
@@ -71,11 +94,24 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
     if mesh is not None:
         from .parallel import pad_and_shard
 
-    if input_cast == "auto":
+    quant = (input_cast not in (None, "auto")
+             and jnp.dtype(input_cast) == jnp.int8)
+    if quant or input_cast == "auto":
         dt = jnp.dtype(getattr(ver, "dtype", jnp.float32))
-        cast = dt if dt.itemsize < 4 else None
+        cast = None if quant else (dt if dt.itemsize < 4 else None)
     else:
         cast = jnp.dtype(input_cast) if input_cast is not None else None
+
+    fn = bev_only
+    if quant:
+        cdt = jnp.dtype(getattr(ver, "dtype", jnp.float32))
+
+        @jax.jit
+        def fn(params, q, scale, w2p, shift):
+            # dequantize in fp32 (the scales' native precision), then cast
+            # to the compute dtype — one fused VPU pass before the encoder
+            f = (q.astype(jnp.float32) * scale).astype(cdt)
+            return bev_only(params, f, w2p, shift)
 
     write_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
     werr: list = []
@@ -118,17 +154,25 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
         feats, w2p, shift = (batch["features"], batch["world2pixel"],
                              batch["origin_shift"])
         real = feats.shape[0]
-        if cast is not None:
+        scales = None
+        if quant:
+            feats, scales = quantize_int8(feats)
+        elif cast is not None:
             feats = np.asarray(feats).astype(cast)
         if mesh is not None:
             # pad short batches to the ONE compiled batch shape
-            s, real = pad_and_shard(
-                mesh, {"features": feats, "world2pixel": w2p,
-                       "origin_shift": shift}, batch_size)
-            args = (s["features"], s["world2pixel"], s["origin_shift"])
+            d = {"features": feats, "world2pixel": w2p,
+                 "origin_shift": shift}
+            if quant:
+                d["feat_scales"] = scales
+            s, real = pad_and_shard(mesh, d, batch_size)
+            args = ((s["features"], s["feat_scales"], s["world2pixel"],
+                     s["origin_shift"]) if quant else
+                    (s["features"], s["world2pixel"], s["origin_shift"]))
         else:
-            args = (jax.device_put(feats), jax.device_put(w2p),
-                    jax.device_put(shift))
+            host = ((feats, scales, w2p, shift) if quant
+                    else (feats, w2p, shift))
+            args = tuple(jax.device_put(x) for x in host)
         return args, list(batch["token"]), real
 
     def fetch_vol(pending):
@@ -173,7 +217,7 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
                 nxt = next(it, None)
                 staged = (transfer.submit(prep, nxt)
                           if nxt is not None else None)
-            bev_dev, ovf = bev_only(params, *args)  # async dispatch
+            bev_dev, ovf = fn(params, *args)  # async dispatch
             overflow_dev = (ovf if overflow_dev is None
                             else jnp.maximum(overflow_dev, ovf))
             item = (bev_dev, tokens, real)
