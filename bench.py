@@ -178,14 +178,23 @@ def main():
         import tempfile
         out_h5 = os.path.join(tempfile.mkdtemp(prefix="bench_e2e_"),
                               "ver.hdf5")
+        # BENCH_E2E_UPLOAD overrides the transfer dtype ("auto" = compute
+        # dtype, exact; "int8" = absmax-quantized upload, NOT exact —
+        # opt-in for transfer-bound deployments, tools/probe_upload_quant.py
+        # measures the output AND task-level error)
+        upload = os.environ.get("BENCH_E2E_UPLOAD", "auto")
         # warm the program (compile/cache-load) outside the timed loop,
         # as the forward bench does — with the SAME input dtype the dump
-        # uses (ver_writer auto-casts features to the compute dtype)
-        s0 = ds[0]
-        np.asarray(bev_only(params, np.repeat(
-            s0["features"][None], batch, 0).astype(jnp.bfloat16),
-            np.repeat(s0["world2pixel"][None], batch, 0), np.repeat(
-            s0["origin_shift"][None], batch, 0))[0])
+        # uses (ver_writer auto-casts features to the compute dtype).
+        # Under int8 upload the timed path only ever runs ver_writer's
+        # dequant wrapper program, which the untimed pass below warms —
+        # a bare bf16 warm call there would be an extra full-size compile.
+        if upload != "int8":
+            s0 = ds[0]
+            np.asarray(bev_only(params, np.repeat(
+                s0["features"][None], batch, 0).astype(jnp.bfloat16),
+                np.repeat(s0["world2pixel"][None], batch, 0), np.repeat(
+                s0["origin_shift"][None], batch, 0))[0])
         # steady-state measurement: one untimed pass warms the page cache
         # (the synthetic dataset is freshly written on first run) and the
         # writer/transfer threads, then timed passes — the production
@@ -193,12 +202,9 @@ def main():
         # The e2e loop is TUNNEL-BANDWIDTH-bound (docs/performance.md) and
         # the tunnel's rate moves session to session (measured 2.46 vs
         # 1.30 vol/s a day apart; tools/probe_tunnel.py measures the
-        # bandwidth directly), so take 2 passes and report the dispersion.
-        # BENCH_E2E_UPLOAD overrides the transfer dtype ("auto" = compute
-        # dtype, exact; "int8" = absmax-quantized upload, NOT exact —
-        # opt-in for transfer-bound deployments, tools/probe_upload_quant.py
-        # measures the output error)
-        upload = os.environ.get("BENCH_E2E_UPLOAD", "auto")
+        # bandwidth directly), so run N passes and report the MEDIAN plus
+        # all rates — the headline must be the typical session, not the
+        # best pass ever seen (VERDICT r4 weak #1).
         dump_volumes(bev_only, params, cfg, ds, out_h5, batch_size=batch,
                      input_cast=upload)
         rates = []
@@ -209,7 +215,7 @@ def main():
                                batch_size=batch, input_cast=upload)
             rates.append(res["volumes_per_sec"])
             e2e_overflow = max(e2e_overflow, res["sca_overflow"])
-        e2e_vps = max(rates)
+        e2e_vps = float(np.median(rates))
         e2e_spread = (max(rates) - min(rates)) / max(rates)
         try:
             os.remove(out_h5)
@@ -250,8 +256,14 @@ def main():
     if alt_vps is not None:
         line[f"value_batch{alt_batch}"] = round(alt_vps, 4)
     if e2e_vps is not None:
+        # MEDIAN of the passes (all rates recorded alongside) — the
+        # tunnel-session window, not the best pass ever seen
         line["e2e_volumes_per_sec"] = round(e2e_vps, 4)
+        line["e2e_rates"] = [round(r, 4) for r in rates]
         line["e2e_spread"] = round(e2e_spread, 4)
+        # self-describing upload mode: an int8 (non-exact) rate must be
+        # distinguishable from an exact-dump rate in recorded BENCH lines
+        line["e2e_upload"] = upload
         if e2e_overflow:
             line["e2e_sca_overflow"] = int(e2e_overflow)
     print(json.dumps(line))
