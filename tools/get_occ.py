@@ -18,6 +18,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
@@ -53,6 +55,27 @@ def parse_args():
                    help="disable the pipelined dump (dispatch/fetch "
                         "overlap + writer thread) — oracle path for "
                         "tests; output bytes are identical either way")
+    p.add_argument("--from-images", action="store_true",
+                   help="FUSED image->VER path: upload raw uint8 panorama "
+                        "views and run the on-chip ViT frontend + lift in "
+                        "ONE program — exact, and the upload is 5.4 MB/"
+                        "volume (36x224x224x3 u8) vs 10.8 MB of bf16 "
+                        "features, halving the dominant transfer on "
+                        "tunnel/transfer-bound hosts. Replaces the "
+                        "offline feature HDF5 with panorama_images.hdf5 "
+                        "(override with --image-file)")
+    p.add_argument("--image-file", default=None,
+                   help="images HDF5 ({scan}_{vp}_i{cam}_{deg} -> "
+                        "(H, W, 3) uint8); default "
+                        "<data_root>/panorama_images.hdf5")
+    p.add_argument("--vit-checkpoint", default=None,
+                   help="HF ViTModel torch state dict for the on-chip "
+                        "frontend (omit = random init, smoke only)")
+    p.add_argument("--hf-prefix", default="",
+                   help="ViT state-dict key prefix (e.g. 'vit.')")
+    p.add_argument("--vit-patch-size", type=int, default=16)
+    p.add_argument("--vit-layers", type=int, default=12)
+    p.add_argument("--vit-heads", type=int, default=12)
     return p.parse_args()
 
 
@@ -81,6 +104,7 @@ def main():
         raise ValueError("config has no savename/getbev and --out not given")
     os.makedirs(os.path.dirname(os.path.abspath(savename)), exist_ok=True)
 
+    image_size = ver.feat_h * args.vit_patch_size
     ds_kw = dataset_kwargs(cfg, "test")
     ann, root = ds_kw["ann_file"], ds_kw["data_root"]
     if not os.path.exists(ann):
@@ -93,15 +117,22 @@ def main():
                                      feat_dim=ver.in_channels,
                                      occ_dims=(ver.occ_zdim, ver.occ_ydim,
                                                ver.occ_xdim),
-                                     pc_range=ver.pc_range)
+                                     pc_range=ver.pc_range,
+                                     image_hw=((image_size, image_size)
+                                               if args.from_images
+                                               else None))
     dataset = MP3DDataset(ann, root, voxel_num=ver.voxel_num,
                           occupancy_classes=ver.occupancy_classes,
                           num_cams=ver.num_cams, feat_hw=ver.feat_h,
-                          test_mode=True)
+                          test_mode=True, from_images=args.from_images,
+                          image_file=args.image_file)
 
     model = VoxelFormer(ver)
     s0 = dataset[0]
-    params = model.init(jax.random.PRNGKey(0), s0["features"][None],
+    feats0 = (np.zeros((1, ver.num_cams, ver.feat_h, ver.feat_w,
+                        ver.in_channels), np.float32)
+              if args.from_images else s0["features"][None])
+    params = model.init(jax.random.PRNGKey(0), feats0,
                         s0["world2pixel"][None], s0["origin_shift"][None])
     if args.checkpoint:
         step = latest_step(args.checkpoint)
@@ -109,11 +140,44 @@ def main():
         state = restore_state(args.checkpoint, step, state)
         params = state.params
 
-    @jax.jit
-    def bev_only(params, feats, w2p, shift):
-        outs = model.apply(params, feats, w2p, shift, deterministic=True,
-                           only_bev=True)
-        return outs["bev_embed"], outs["sca_overflow"]
+    if args.from_images:
+        # FUSED product path: uint8 views -> on-chip ViT -> lift, one
+        # jitted program (the stage the reference runs offline,
+        # voxelformer.py:317-325 + the absent-upstream extractor)
+        from vln_ver_tpu.models.vit import (convert_hf_vit_params,
+                                            vit_feature_frontend,
+                                            vit_for_ver)
+        vit = vit_for_ver(ver, patch_size=args.vit_patch_size,
+                          num_layers=args.vit_layers,
+                          num_heads=args.vit_heads, dtype=ver.dtype)
+        if args.vit_checkpoint:
+            import torch
+            sd = torch.load(args.vit_checkpoint, map_location="cpu")
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            vit_vars = convert_hf_vit_params(sd, args.vit_layers,
+                                             args.vit_heads,
+                                             prefix=args.hf_prefix)
+        else:
+            print("[get_occ] no --vit-checkpoint: RANDOM ViT weights "
+                  "(smoke only)")
+            import jax.numpy as jnp
+            vit_vars = vit.init(jax.random.PRNGKey(1), jnp.zeros(
+                (1, image_size, image_size, 3)))
+        params = {"ver": params, "vit": vit_vars}
+
+        @jax.jit
+        def bev_only(params, images, w2p, shift):
+            feats = vit_feature_frontend(vit, params["vit"], images)
+            outs = model.apply(params["ver"], feats, w2p, shift,
+                               deterministic=True, only_bev=True)
+            return outs["bev_embed"], outs["sca_overflow"]
+    else:
+        @jax.jit
+        def bev_only(params, feats, w2p, shift):
+            outs = model.apply(params, feats, w2p, shift,
+                               deterministic=True, only_bev=True)
+            return outs["bev_embed"], outs["sca_overflow"]
 
     n = min(len(dataset), args.limit or len(dataset))
     # multi-process: contiguous shard per process, one HDF5 shard file each
@@ -139,7 +203,9 @@ def main():
     res = dump_volumes(bev_only, params, ver, dataset, savename,
                        batch_size=args.batch_size, indices=indices,
                        gzip_level=args.gzip_level, serial=args.serial,
-                       mesh=mesh, input_cast=args.upload_dtype)
+                       mesh=mesh, input_cast=args.upload_dtype,
+                       input_key=("images" if args.from_images
+                                  else "features"))
     print(f"wrote {res['written']} VER volumes to {savename}")
     print(f"e2e: {res['written']} volumes in {res['seconds']:.2f}s = "
           f"{res['volumes_per_sec']:.2f} volumes/s "

@@ -70,7 +70,9 @@ class MP3DDataset:
                  classes: Sequence[str] = DEFAULT_CLASSES,
                  occ_names: Sequence[str] = DEFAULT_OCC_NAMES,
                  test_mode: bool = False,
-                 cache_features: bool = True):
+                 cache_features: bool = True,
+                 from_images: bool = False,
+                 image_file: Optional[str] = None):
         with open(ann_file, "rb") as f:
             self.data_infos: List[Dict] = pickle.load(f)
         self.data_root = data_root
@@ -92,6 +94,16 @@ class MP3DDataset:
         self._cord_cache: Optional[Dict] = None
         self._h5 = None
         self._lock = threading.Lock()
+        # image mode (the fused image->VER product path): samples carry
+        # raw uint8 panorama views under "images" INSTEAD of precomputed
+        # ViT features — the on-chip ViT frontend (models/vit.py) lifts
+        # them inside the same jitted program as the encoder, so the
+        # host->device payload is the 4x-smaller uint8 images
+        self.from_images = from_images
+        self.image_file = image_file or os.path.join(
+            data_root, "panorama_images.hdf5")
+        self._img_h5 = None
+        self._img_cache: Dict[str, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self.data_infos)
@@ -112,6 +124,19 @@ class MP3DDataset:
         if self._cache_features:
             self._feat_cache[key] = ft
         return ft
+
+    def _get_image(self, key: str) -> np.ndarray:
+        if self._cache_features and key in self._img_cache:
+            return self._img_cache[key]
+        with self._lock:
+            if self._img_h5 is None:
+                import h5py
+                self._img_h5 = h5py.File(self.image_file, "r")
+            img = np.asarray(self._img_h5[key], np.uint8)
+        assert img.ndim == 3 and img.shape[2] == 3, (key, img.shape)
+        if self._cache_features:
+            self._img_cache[key] = img
+        return img
 
     def _get_world2pixel(self, scan: str, vp: str) -> np.ndarray:
         if scan not in self._cam_cache:
@@ -138,16 +163,19 @@ class MP3DDataset:
         info = self.data_infos[index]
         token = info["token"]
         scan, vp = token.split("_")
-        feats = np.stack([
-            self._get_feature(f"{scan}_{vp}_i{self.cam_id}_{deg}")
-            for deg in range(self.num_cams)
-        ])  # (cams, 14, 14, 768)
+        keys = [f"{scan}_{vp}_i{self.cam_id}_{deg}"
+                for deg in range(self.num_cams)]
         sample = {
-            "features": feats,
             "world2pixel": self._get_world2pixel(scan, vp),
             "origin_shift": self._get_origin_shift(scan, vp),
             "token": token,
         }
+        if self.from_images:
+            sample["images"] = np.stack(
+                [self._get_image(k) for k in keys])  # (cams, H, W, 3) u8
+        else:
+            sample["features"] = np.stack(
+                [self._get_feature(k) for k in keys])  # (cams, 14, 14, 768)
         if not self.test_mode or "gt_boxes" in info:
             raw = np.asarray(info.get("gt_boxes",
                                       np.zeros((0, 7))), np.float32)

@@ -93,13 +93,27 @@ def make_synthetic_dataset(root: str,
                            occ_dims=(35, 120, 120),
                            pc_range=(-6.0, -6.0, -1.5, 6.0, 6.0, 2.0),
                            seed: int = 0,
-                           split: str = "trainval") -> str:
-    """Write a synthetic dataset under ``root``; returns the ann pkl path."""
+                           split: str = "trainval",
+                           image_hw=None) -> str:
+    """Write a synthetic dataset under ``root``; returns the ann pkl path.
+
+    ``image_hw``: when set (H, W), ALSO writes raw uint8 panorama views to
+    ``panorama_images.hdf5`` under the same ``{scan}_{vp}_i1_{deg}`` keys
+    (the fused image->VER path's input; data/mp3d.py ``from_images``).
+    The images are random and independent of the random features — exact
+    image->feature correspondence tests build their features by running
+    the ViT (tests/test_from_images.py)."""
     import h5py
 
     os.makedirs(os.path.join(root, "world2pixel"), exist_ok=True)
     os.makedirs(os.path.join(root, "occ"), exist_ok=True)
     rng = np.random.default_rng(seed)
+
+    img_h5 = None
+    if image_hw is not None:
+        img_path = os.path.join(root, "panorama_images.hdf5")
+        img_h5 = h5py.File(img_path,
+                           "a" if os.path.exists(img_path) else "w")
 
     infos = []
     cords = {}
@@ -130,6 +144,10 @@ def make_synthetic_dataset(root: str,
                             (1, feat_hw * feat_hw + 1, feat_dim)
                         ).astype(np.float32)
                         h5.create_dataset(fkey, data=feat)
+                    if img_h5 is not None and fkey not in img_h5:
+                        img_h5.create_dataset(
+                            fkey, data=rng.integers(
+                                0, 256, (*image_hw, 3)).astype(np.uint8))
                 sparse, invalid, boxes, labels, layout = _rasterise_scene(
                     rng, pc_range=pc_range, occ_dims=occ_dims)
                 occ_path = os.path.join(root, "occ", f"{token}.npy")
@@ -160,6 +178,8 @@ def make_synthetic_dataset(root: str,
             with open(cam_path, "w") as f:
                 json.dump(cam_json, f)
 
+    if img_h5 is not None:
+        img_h5.close()
     cord_path = os.path.join(root, "scanvp2cord.pkl")
     if os.path.exists(cord_path):
         with open(cord_path, "rb") as f:

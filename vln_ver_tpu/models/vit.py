@@ -101,6 +101,43 @@ def preprocess_images(images: jnp.ndarray, image_size: int = 224,
     return (x - mean) / std
 
 
+def vit_feature_frontend(model: ViT, variables, images_u8,
+                         mean: float = 0.5, std: float = 0.5):
+    """Panorama views -> the lift's per-camera feature grid, on device.
+
+    ``images_u8`` (B, cams, H, W, 3) uint8 raw views ->
+    (B, cams, fh, fw, C) fp32 features with the CLS token stripped and
+    patches in row-major order — exactly what ``MP3DDataset`` serves from
+    the precomputed feature HDF5 (reference voxelformer.py:317-325 reads
+    (1, 197, 768) and drops index 0), so ``VoxelFormer`` consumes either
+    source interchangeably.  Jit-traceable: get_occ/serve fuse this with
+    the lift into ONE program, making uint8 images (5.4 MB/volume at
+    36x224x224x3) the only host->device payload instead of 2x the bytes
+    of bf16 ViT features.
+    """
+    b, cams = images_u8.shape[:2]
+    x = images_u8.reshape((b * cams,) + images_u8.shape[2:])
+    x = preprocess_images(x, model.image_size, mean, std)
+    tok = model.apply(variables, x)             # (b*cams, 1+P, C)
+    fh = model.image_size // model.patch_size
+    return tok[:, 1:, :].reshape(b, cams, fh, fh, model.embed_dims)
+
+
+def vit_for_ver(ver, patch_size: int = 16, num_layers: int = 12,
+                num_heads: int = 12, ffn_ratio: int = 4,
+                dtype=None) -> ViT:
+    """Build the :class:`ViT` whose output grid matches a
+    :class:`~vln_ver_tpu.models.config.VERConfig`'s expected features:
+    ``image_size = feat_h * patch_size`` (so fh == feat_h) and
+    ``embed_dims = in_channels``.  The full-size config lands on the
+    reference's ViT-B/16 @224 exactly (feat 14x14x768)."""
+    assert ver.feat_h == ver.feat_w, (ver.feat_h, ver.feat_w)
+    return ViT(image_size=ver.feat_h * patch_size, patch_size=patch_size,
+               embed_dims=ver.in_channels, num_layers=num_layers,
+               num_heads=num_heads, ffn_dim=ffn_ratio * ver.in_channels,
+               dtype=dtype if dtype is not None else jnp.float32)
+
+
 def convert_hf_vit_params(state_dict: Dict[str, "np.ndarray"],
                           num_layers: int, num_heads: int,
                           prefix: str = "") -> dict:

@@ -77,8 +77,10 @@ def make_multislice_mesh(num_slices: int, data: int, view: int = 1,
 
 
 # Per-batch-key axis layout: batch axis over the data axes (('slice',)
-# 'data'), camera axis over 'view' where present.
-_VIEW_KEYS = ("features", "world2pixel")
+# 'data'), camera axis over 'view' where present.  "images" is the fused
+# image->VER path's raw uint8 views (B, cams, H, W, 3) — camera-sharded
+# like the features they replace.
+_VIEW_KEYS = ("features", "world2pixel", "images")
 
 
 def _spec(key: str, mesh: Mesh) -> P:

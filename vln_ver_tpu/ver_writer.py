@@ -64,10 +64,18 @@ def quantize_int8(feats):
 def dump_volumes(bev_only, params, ver, dataset, savename: str,
                  batch_size: int = 1, indices=None,
                  gzip_level: int = 4, serial: bool = False,
-                 mesh=None, input_cast="auto") -> dict:
+                 mesh=None, input_cast="auto",
+                 input_key: str = "features") -> dict:
     """Run ``bev_only(params, feats, w2p, shift) -> (bev, overflow)`` over
     ``dataset`` and append each volume to ``savename`` (HDF5, key=token,
     gzip) in the reference dump schema.
+
+    ``input_key``: the batch entry fed as the model input — "features"
+    (precomputed ViT features, the reference's contract) or "images"
+    (raw uint8 panorama views for the FUSED image->VER path, where
+    ``bev_only`` runs the on-chip ViT frontend + lift in one program;
+    uint8 is already the minimal exact payload, so ``input_cast`` must
+    stay "auto"/None there).
 
     ``input_cast``: dtype the features are cast to BEFORE the host->device
     transfer.  Default "auto" = the model's compute dtype (``ver.dtype``)
@@ -96,7 +104,15 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
 
     quant = (input_cast not in (None, "auto")
              and jnp.dtype(input_cast) == jnp.int8)
-    if quant or input_cast == "auto":
+    if input_key == "images":
+        # uint8 images are already the minimal exact payload; quantizing
+        # or float-casting them would corrupt the ViT frontend's input
+        if quant or input_cast not in (None, "auto"):
+            raise ValueError(
+                f"input_cast={input_cast!r} is a feature-upload option; "
+                "the image path uploads uint8 (exact) already")
+        cast = None
+    elif quant or input_cast == "auto":
         dt = jnp.dtype(getattr(ver, "dtype", jnp.float32))
         cast = None if quant else (dt if dt.itemsize < 4 else None)
     else:
@@ -151,7 +167,7 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
     def prep(batch):
         """Host->device staging for one batch (runs on the transfer
         thread in pipelined mode): cast + device_put/shard."""
-        feats, w2p, shift = (batch["features"], batch["world2pixel"],
+        feats, w2p, shift = (batch[input_key], batch["world2pixel"],
                              batch["origin_shift"])
         real = feats.shape[0]
         scales = None
@@ -161,14 +177,14 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
             feats = np.asarray(feats).astype(cast)
         if mesh is not None:
             # pad short batches to the ONE compiled batch shape
-            d = {"features": feats, "world2pixel": w2p,
+            d = {input_key: feats, "world2pixel": w2p,
                  "origin_shift": shift}
             if quant:
                 d["feat_scales"] = scales
             s, real = pad_and_shard(mesh, d, batch_size)
-            args = ((s["features"], s["feat_scales"], s["world2pixel"],
+            args = ((s[input_key], s["feat_scales"], s["world2pixel"],
                      s["origin_shift"]) if quant else
-                    (s["features"], s["world2pixel"], s["origin_shift"]))
+                    (s[input_key], s["world2pixel"], s["origin_shift"]))
         else:
             host = ((feats, scales, w2p, shift) if quant
                     else (feats, w2p, shift))
