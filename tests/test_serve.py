@@ -62,7 +62,8 @@ def test_serve_round_trip(tmp_path):
     args = argparse.Namespace(
         config=config_path, cfg_options=None, checkpoint=None,
         queue=queue, batch_max=2, poll_ms=10, occupancy=True,
-        max_requests=3)
+        max_requests=3, images=False, vit_checkpoint=None, hf_prefix="",
+        vit_patch_size=16, vit_layers=12, vit_heads=12)
     served = serve_mod.serve(args)
     assert served == 3
 
@@ -98,6 +99,72 @@ def test_serve_round_trip(tmp_path):
     err = os.path.join(outbox, "bad.error.txt")
     assert os.path.exists(err)
     assert not os.listdir(os.path.join(queue, "in"))
+
+
+def test_serve_image_requests(tmp_path):
+    """--images: a request carrying raw uint8 views is answered by the
+    fused on-chip ViT + lift program, exactly matching a direct fused
+    forward; feature requests keep working in the same claim."""
+    serve_mod = _load_serve()
+    from vln_ver_tpu.config import build_ver_config, load_config
+    from vln_ver_tpu.models import VoxelFormer
+    from vln_ver_tpu.models.vit import vit_feature_frontend, vit_for_ver
+
+    config_path = os.path.join(ROOT, "configs", "verformer",
+                               "vocc_tiny.py")
+    cfg = build_ver_config(load_config(config_path))
+    patch = 8
+    img_size = cfg.feat_h * patch
+    queue = str(tmp_path / "q")
+    inbox = os.path.join(queue, "in")
+    os.makedirs(inbox, exist_ok=True)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (cfg.num_cams, img_size, img_size, 3)
+                       ).astype(np.uint8)
+    feats, w2p, shift = _request(cfg, 0)
+    np.savez(os.path.join(inbox, "imgreq.npz"), images=img,
+             world2pixel=w2p, origin_shift=shift)
+    np.savez(os.path.join(inbox, "featreq.npz"), features=feats,
+             world2pixel=w2p, origin_shift=shift)
+
+    args = argparse.Namespace(
+        config=config_path, cfg_options=None, checkpoint=None,
+        queue=queue, batch_max=2, poll_ms=10, occupancy=False,
+        max_requests=2, images=True, vit_checkpoint=None, hf_prefix="",
+        vit_patch_size=patch, vit_layers=1, vit_heads=4)
+    served = serve_mod.serve(args)
+    assert served == 2
+
+    outbox = os.path.join(queue, "out")
+    with np.load(os.path.join(outbox, "imgreq.npz")) as z:
+        vol = z["volume"]
+    with np.load(os.path.join(outbox, "featreq.npz")) as z:
+        vol_f = z["volume"]
+    assert vol.shape == vol_f.shape == (cfg.embed_dims, cfg.bev_z,
+                                        cfg.bev_h, cfg.bev_w)
+
+    # oracle: the server's deterministic init (PRNGKey(0) model,
+    # PRNGKey(1) ViT) applied directly
+    model = VoxelFormer(cfg)
+    rng0 = np.random.default_rng(0)
+    feats0 = rng0.standard_normal(
+        (1, cfg.num_cams, cfg.feat_h, cfg.feat_w, cfg.in_channels)
+    ).astype(np.float32)
+    w2p0 = np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))
+    params = model.init(jax.random.PRNGKey(0), feats0, w2p0,
+                        np.zeros((1, 3), np.float32))
+    vit = vit_for_ver(cfg, patch_size=patch, num_layers=1, num_heads=4,
+                      dtype=cfg.dtype)
+    vit_vars = vit.init(jax.random.PRNGKey(1),
+                        np.zeros((1, img_size, img_size, 3), np.float32))
+    f_img = vit_feature_frontend(vit, vit_vars, np.asarray(img[None]))
+    outs = model.apply(params, f_img, w2p[None], shift[None],
+                       deterministic=True, only_bev=True)
+    want = np.asarray(outs["bev_embed"]).reshape(
+        cfg.bev_z, cfg.bev_h, cfg.bev_w,
+        cfg.embed_dims).transpose(3, 0, 1, 2)
+    np.testing.assert_allclose(vol, want, rtol=2e-5, atol=2e-5)
 
 
 def test_sweep_orphans_cross_host_semantics(tmp_path):

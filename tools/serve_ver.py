@@ -14,9 +14,14 @@ occupancy) with micro-batching:
   (e.g. ``.tmp-<id>``) in the same directory, then ``os.replace`` to
   ``<id>.npz`` — the claimer skips dotfiles, and as a second line of
   defense a request that fails to parse while its mtime is still fresh
-  is pushed back to the inbox instead of errored.  The response appears
-  as ``<queue>/out/<id>.npz`` with ``volume`` (C, Z, H, W), plus
-  ``occupancy`` (N_vox int32 labels) when ``--occupancy`` is set.
+  is pushed back to the inbox instead of errored.  With ``--images`` a
+  request may instead carry ``images`` (num_cams, H, W, 3) uint8 raw
+  panorama views — the fused image->VER program (on-chip ViT frontend +
+  lift, models/vit.py) serves it exactly, with a ~2x smaller payload
+  than bf16 features; the two request kinds batch separately.  The
+  response appears as ``<queue>/out/<id>.npz`` with ``volume``
+  (C, Z, H, W), plus ``occupancy`` (N_vox int32 labels) when
+  ``--occupancy`` is set.
   Malformed requests produce ``<queue>/out/<id>.error.txt``.
   ``<queue>/in/STOP`` shuts down.
 * **One compiled program**: pending requests are padded to the fixed
@@ -97,6 +102,21 @@ def parse_args():
                    help="also decode + return dense occupancy labels")
     p.add_argument("--max-requests", type=int, default=None,
                    help="exit after serving N requests (tests)")
+    p.add_argument("--images", action="store_true",
+                   help="ALSO accept image requests: npz with 'images' "
+                        "(num_cams, H, W, 3) uint8 instead of "
+                        "'features' — the fused image->VER path runs the "
+                        "on-chip ViT frontend + lift in one program "
+                        "(exact, and the request payload is ~2x smaller "
+                        "than bf16 features). Feature requests keep "
+                        "working; the two kinds batch separately")
+    p.add_argument("--vit-checkpoint", default=None,
+                   help="HF ViTModel torch state dict for --images "
+                        "(omit = random init, smoke only)")
+    p.add_argument("--hf-prefix", default="")
+    p.add_argument("--vit-patch-size", type=int, default=16)
+    p.add_argument("--vit-layers", type=int, default=12)
+    p.add_argument("--vit-heads", type=int, default=12)
     return p.parse_args()
 
 
@@ -244,8 +264,7 @@ def serve(args) -> int:
 
     B = args.batch_max
 
-    @jax.jit
-    def forward(params, feats, w2p, shift):
+    def _heads(params, feats, w2p, shift):
         outs = model.apply(params, feats, w2p, shift, deterministic=True,
                            only_bev=not args.occupancy)
         bev = outs["bev_embed"]  # (B, bev_num, C)
@@ -256,6 +275,40 @@ def serve(args) -> int:
             occ = jax.vmap(lambda lg: decode_occupancy(
                 lg, loss_type=ver.occ_loss_type))(outs["occupancy_preds"])
         return vol, occ
+
+    @jax.jit
+    def forward(params, feats, w2p, shift):
+        return _heads(params, feats, w2p, shift)
+
+    # fused image->VER program (--images): uint8 views -> on-chip ViT
+    # frontend -> lift, one compiled program per request kind
+    forward_images = None
+    image_size = ver.feat_h * args.vit_patch_size
+    if args.images:
+        from vln_ver_tpu.models.vit import (convert_hf_vit_params,
+                                            vit_feature_frontend,
+                                            vit_for_ver)
+        vit = vit_for_ver(ver, patch_size=args.vit_patch_size,
+                          num_layers=args.vit_layers,
+                          num_heads=args.vit_heads, dtype=ver.dtype)
+        if args.vit_checkpoint:
+            import torch
+            sd = torch.load(args.vit_checkpoint, map_location="cpu")
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            vit_vars = convert_hf_vit_params(sd, args.vit_layers,
+                                             args.vit_heads,
+                                             prefix=args.hf_prefix)
+        else:
+            print("serve_ver: no --vit-checkpoint: RANDOM ViT weights "
+                  "(smoke only)", flush=True)
+            vit_vars = vit.init(jax.random.PRNGKey(1), jnp.zeros(
+                (1, image_size, image_size, 3)))
+
+        @jax.jit
+        def forward_images(params, images, w2p, shift):
+            feats = vit_feature_frontend(vit, vit_vars, images)
+            return _heads(params, feats, w2p, shift)
 
     served = 0
     print(f"serve_ver: queue={args.queue} batch_max={B} "
@@ -276,22 +329,36 @@ def serve(args) -> int:
             time.sleep(args.poll_ms / 1000.0)
             continue
 
-        batch_f, batch_w, batch_s, ok = [], [], [], []
+        # two homogeneous micro-batches: feature requests and (--images)
+        # image requests each pad to B and run their own compiled program
+        groups = {"features": {"x": [], "w": [], "s": [], "ok": []},
+                  "images": {"x": [], "w": [], "s": [], "ok": []}}
         for path in reqs:
             try:
                 with np.load(path) as z:
-                    f = np.asarray(z["features"], np.float32)
+                    if "images" in z:
+                        if forward_images is None:
+                            raise ValueError(
+                                "image request but server started "
+                                "without --images")
+                        kind = "images"
+                        x = np.asarray(z["images"], np.uint8)
+                        expect = (ver.num_cams, image_size, image_size, 3)
+                    else:
+                        kind = "features"
+                        x = np.asarray(z["features"], np.float32)
+                        expect = (ver.num_cams, ver.feat_h, ver.feat_w,
+                                  ver.in_channels)
                     w = np.asarray(z["world2pixel"], np.float32)
                     s = np.asarray(z["origin_shift"], np.float32)
-                expect = (ver.num_cams, ver.feat_h, ver.feat_w,
-                          ver.in_channels)
-                if f.shape != expect or w.shape != (ver.num_cams, 4, 4) \
+                if x.shape != expect or w.shape != (ver.num_cams, 4, 4) \
                         or s.shape != (3,):
                     raise ValueError(
-                        f"bad shapes {f.shape} {w.shape} {s.shape}, "
+                        f"bad shapes {x.shape} {w.shape} {s.shape}, "
                         f"want {expect} {(ver.num_cams, 4, 4)} (3,)")
-                batch_f.append(f); batch_w.append(w); batch_s.append(s)
-                ok.append(path)
+                g = groups[kind]
+                g["x"].append(x); g["w"].append(w); g["s"].append(s)
+                g["ok"].append(path)
             except Exception as e:
                 if not os.path.exists(path):
                     # a peer's orphan sweep reclaimed it between our claim
@@ -321,7 +388,8 @@ def serve(args) -> int:
                     os.remove(path)
                 except OSError:
                     pass  # swept by a peer after the exists() check
-        if not ok:
+        all_ok = groups["features"]["ok"] + groups["images"]["ok"]
+        if not all_ok:
             continue
 
         # Freshen claim mtimes AFTER validation (touching at claim time
@@ -332,26 +400,34 @@ def serve(args) -> int:
         # above (5-10+ min observed), so a one-shot touch cannot bound
         # the stale-sweep window on other servers — the keepalive makes
         # "stale" mean "owner stopped touching", i.e. actually dead.
-        keepalive = _ClaimKeepAlive(ok, interval_s=60.0)
+        keepalive = _ClaimKeepAlive(all_ok, interval_s=60.0)
         keepalive.start()
+        results = []  # (path, volume, occupancy-or-None)
         try:
-            n = len(ok)
-            while len(batch_f) < B:  # pad to the compiled batch
-                batch_f.append(batch_f[-1])
-                batch_w.append(batch_w[-1])
-                batch_s.append(batch_s[-1])
-            vol, occ = forward(params, jnp.asarray(np.stack(batch_f)),
-                               jnp.asarray(np.stack(batch_w)),
-                               jnp.asarray(np.stack(batch_s)))
-            vol = np.asarray(vol[:n])
-            occ = np.asarray(occ[:n]) if occ is not None else None
+            for kind, fwd in (("features", forward),
+                              ("images", forward_images)):
+                g = groups[kind]
+                if not g["ok"]:
+                    continue
+                n = len(g["ok"])
+                bx, bw, bs = list(g["x"]), list(g["w"]), list(g["s"])
+                while len(bx) < B:  # pad to the compiled batch
+                    bx.append(bx[-1]); bw.append(bw[-1]); bs.append(bs[-1])
+                vol, occ = fwd(params, jnp.asarray(np.stack(bx)),
+                               jnp.asarray(np.stack(bw)),
+                               jnp.asarray(np.stack(bs)))
+                vol = np.asarray(vol[:n])
+                occ = np.asarray(occ[:n]) if occ is not None else None
+                results += [(p, vol[i],
+                             occ[i] if occ is not None else None)
+                            for i, p in enumerate(g["ok"])]
         finally:
             keepalive.stop()
-        for i, path in enumerate(ok):
+        for path, vol_i, occ_i in results:
             rid = os.path.basename(path)[:-4]
-            out = {"volume": vol[i]}
-            if occ is not None:
-                out["occupancy"] = occ[i].astype(np.int32)
+            out = {"volume": vol_i}
+            if occ_i is not None:
+                out["occupancy"] = occ_i.astype(np.int32)
             tmp = os.path.join(outbox, f".{rid}.tmp.npz")
             np.savez(tmp, **out)
             os.replace(tmp, os.path.join(outbox, f"{rid}.npz"))
@@ -361,7 +437,7 @@ def serve(args) -> int:
                 # another server's orphan sweep reclaimed it mid-batch;
                 # the response is already written, don't crash
                 pass
-        served += n
+        served += len(results)
         if args.max_requests is not None and served >= args.max_requests:
             break
     print(f"serve_ver: done, served {served}", flush=True)
