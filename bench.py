@@ -222,6 +222,72 @@ def main():
         except OSError:
             pass
 
+    # FUSED image->VER product path (round 5): uint8 panorama views
+    # (36x224x224x3 = 5.4 MB/volume, EXACT) -> on-chip ViT-B/16 + lift in
+    # one program (tools/get_occ.py --from-images) — halves the dominant
+    # tunnel upload vs 10.8 MB of bf16 features, and replaces the offline
+    # feature store in the serving story.  Random ViT weights (perf only;
+    # the HF converter is parity-tested in tests/test_vit_extract.py).
+    img_vps = None
+    if (os.environ.get("BENCH_E2E", "1") != "0"
+            and os.environ.get("BENCH_E2E_IMAGES", "1") != "0"):
+        import tempfile
+
+        from vln_ver_tpu.data import MP3DDataset, make_synthetic_dataset
+        from vln_ver_tpu.models.vit import (vit_feature_frontend,
+                                            vit_for_ver)
+        from vln_ver_tpu.ver_writer import dump_volumes
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        n_vol = int(os.environ.get("BENCH_E2E_VOLUMES", "32"))
+        img_size = cfg.feat_h * 16
+        root = os.path.join(here, ".bench_data",
+                            f"e2e_img_c{cfg.num_cams}_s{img_size}_n{n_vol}")
+        ann = os.path.join(root, "mp3d_infos_forall.pkl")
+        if not os.path.exists(ann):
+            os.makedirs(root, exist_ok=True)
+            ann = make_synthetic_dataset(
+                root, num_scans=1, viewpoints_per_scan=n_vol,
+                num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
+                feat_dim=cfg.in_channels,
+                occ_dims=(cfg.occ_zdim, cfg.occ_ydim, cfg.occ_xdim),
+                pc_range=cfg.pc_range, split="forall",
+                image_hw=(img_size, img_size), write_features=False)
+        ds_img = MP3DDataset(ann, root, voxel_num=cfg.voxel_num,
+                             occupancy_classes=cfg.occupancy_classes,
+                             num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
+                             test_mode=True, from_images=True)
+        vit = vit_for_ver(cfg, dtype=jnp.bfloat16)  # ViT-B/16 @ 224
+        vit_vars = vit.init(jax.random.PRNGKey(1),
+                            np.zeros((1, img_size, img_size, 3),
+                                     np.float32))
+        fused_params = {"ver": params, "vit": vit_vars}
+
+        @jax.jit
+        def bev_images(p, images, w2p, shift):
+            f = vit_feature_frontend(vit, p["vit"], images)
+            outs = model.apply(p["ver"], f, w2p, shift,
+                               deterministic=True, only_bev=True)
+            return outs["bev_embed"], outs["sca_overflow"]
+
+        out_h5 = os.path.join(tempfile.mkdtemp(prefix="bench_img_"),
+                              "ver.hdf5")
+        # untimed warm pass (compile/cache-load + page cache), then timed
+        dump_volumes(bev_images, fused_params, cfg, ds_img, out_h5,
+                     batch_size=batch, input_key="images")
+        img_rates = []
+        for _ in range(int(os.environ.get("BENCH_E2E_PASSES", "2"))):
+            os.remove(out_h5)
+            res = dump_volumes(bev_images, fused_params, cfg, ds_img,
+                               out_h5, batch_size=batch,
+                               input_key="images")
+            img_rates.append(res["volumes_per_sec"])
+        img_vps = float(np.median(img_rates))
+        try:
+            os.remove(out_h5)
+        except OSError:
+            pass
+
     # vs_baseline = this run / round-1 recorded value.  The driver writes
     # BENCH_r01.json, BENCH_r02.json, ...; anchor to the EARLIEST round so
     # the ratio is a cumulative round-over-round progress signal.
@@ -266,6 +332,9 @@ def main():
         line["e2e_upload"] = upload
         if e2e_overflow:
             line["e2e_sca_overflow"] = int(e2e_overflow)
+    if img_vps is not None:
+        line["e2e_from_images"] = round(img_vps, 4)
+        line["e2e_from_images_rates"] = [round(r, 4) for r in img_rates]
     print(json.dumps(line))
 
 

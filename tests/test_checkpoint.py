@@ -77,6 +77,53 @@ def test_latest_step_skips_orbax_tmp_dirs(tmp_path):
     assert latest_step(str(d)) == 42
 
 
+def test_checkpoint_roundtrip_tp_sharded(tmp_path):
+    """A checkpoint written from a TENSOR-PARALLEL-sharded live state is
+    mesh-agnostic: _to_host materialises the global arrays, and the
+    restored state (a) equals the unsharded original and (b) resumes on a
+    DIFFERENT mesh shape (VERDICT r4 weak #3)."""
+    from vln_ver_tpu.parallel import make_tp_mesh, shard_state, tp_fraction
+
+    _, state, batch, tc = _init()
+    step_fn = make_train_step(TINY, tc, donate=False)
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+
+    mesh = make_tp_mesh(2, 4)  # (data=2, view=1, model=4) over 8 devices
+    # low threshold so the tiny model's matrices actually shard
+    sharded = shard_state(mesh, state, min_size=1 << 8)
+    assert tp_fraction(sharded.params, mesh) > 0.5  # genuinely TP
+
+    ckpt = str(tmp_path / "ckpt")
+    save_state(ckpt, int(state.step), sharded)
+    _, fresh, _, _ = _init()
+    restored = restore_state(ckpt, 1, fresh)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume on a DIFFERENT mesh shape: (data=4, model=2)
+    mesh2 = make_tp_mesh(4, 2)
+    resharded = shard_state(mesh2, restored, min_size=1 << 8)
+    with mesh2:
+        resumed, metrics = step_fn(resharded, batch, jax.random.PRNGKey(1))
+    assert int(resumed.step) == 2
+    # the resharded resume sees the same loss as the plain resume (same
+    # restored params; only reduction order differs across meshes).
+    # Post-update params are NOT compared tightly: Adam normalises the
+    # gradient, so float reduction-order noise becomes O(lr)-scale update
+    # differences — loss equality is the meaningful invariant.
+    plain, plain_metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(plain_metrics["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(plain.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.2, atol=1e-3)
+
+
 def test_bf16_train_step_finite():
     cfg = dataclasses.replace(TINY, dtype=jnp.bfloat16)
     _, state, batch, tc = _init(cfg)

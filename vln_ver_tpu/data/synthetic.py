@@ -94,7 +94,8 @@ def make_synthetic_dataset(root: str,
                            pc_range=(-6.0, -6.0, -1.5, 6.0, 6.0, 2.0),
                            seed: int = 0,
                            split: str = "trainval",
-                           image_hw=None) -> str:
+                           image_hw=None,
+                           write_features: bool = True) -> str:
     """Write a synthetic dataset under ``root``; returns the ann pkl path.
 
     ``image_hw``: when set (H, W), ALSO writes raw uint8 panorama views to
@@ -139,7 +140,7 @@ def make_synthetic_dataset(root: str,
                         70.0, deg * (360.0 / num_cams), pos)
                     cam_json[key] = w2p.tolist()
                     fkey = f"{scan}_{vp}_i1_{deg}"
-                    if fkey not in h5:
+                    if write_features and fkey not in h5:
                         feat = rng.standard_normal(
                             (1, feat_hw * feat_hw + 1, feat_dim)
                         ).astype(np.float32)

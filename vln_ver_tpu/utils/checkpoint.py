@@ -19,13 +19,34 @@ def _checkpointer():
 
 
 def _to_host(state):
-    # fully materialise on host to keep checkpoints mesh-agnostic
-    return jax.tree.map(
-        lambda x: jax.device_get(x) if hasattr(x, "addressable_data")
-        or hasattr(x, "device") else x, state)
+    """Fully materialise the state on host so checkpoints stay
+    MESH-AGNOSTIC: a checkpoint written from a TP/multislice-sharded
+    state restores onto any mesh shape (or none).
+
+    Single-process arrays — replicated or sharded across local devices —
+    are fully addressable and ``device_get`` assembles them.  On a
+    multi-process mesh (jax.distributed) the global arrays are NOT fully
+    addressable and ``device_get`` raises, so the global value is
+    gathered with ``process_allgather`` instead (a collective: every
+    process must reach save_state together, which the train loop's
+    lockstep already guarantees)."""
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return multihost_utils.process_allgather(x, tiled=True)
+        if hasattr(x, "addressable_data") or hasattr(x, "device"):
+            return jax.device_get(x)
+        return x
+
+    return jax.tree.map(get, state)
 
 
 def save_state(ckpt_dir: str, step: int, state) -> str:
+    # Under jax.distributed every process holds the same gathered host
+    # state and ALL must call save — orbax's Checkpointer syncs
+    # internally ('Checkpointer:save_start') and writes replicated
+    # numpy leaves from the primary process only, so this neither races
+    # nor duplicates bytes.
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
     _checkpointer().save(path, _to_host(state), force=True)
     return path
@@ -52,6 +73,9 @@ class AsyncSaver:
     def save(self, ckpt_dir: str, step: int, state) -> str:
         path = os.path.join(os.path.abspath(ckpt_dir),
                             f"step_{step:08d}")
+        # _to_host is a collective under jax.distributed; orbax's own
+        # multihost sync then coordinates the write (primary-only for
+        # replicated numpy leaves) — see save_state.
         self._ckptr.save(path, _to_host(state), force=True)
         return path
 
