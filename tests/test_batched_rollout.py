@@ -92,3 +92,28 @@ def test_batched_handles_uneven_lengths(tmp_path):
     assert len(lengths) > 1, "expected uneven episode lengths"
     for m in bm:
         assert np.isfinite(m["nav_error"])
+
+
+def test_mesh_eval_matches_single_device(tmp_path):
+    """evaluate_batched over an agent ('data',) mesh (8 virtual devices)
+    reproduces the per-episode evaluate() metrics — eval sharding must
+    not change a single action (the policy is row-independent and the
+    mesh only splits the batch axis).  Also covers the padded short
+    final chunk (6 episodes, batch 8)."""
+    from vln_ver_tpu.agent.parallel import make_agent_mesh
+    from vln_ver_tpu.agent.rollout import evaluate, evaluate_batched
+
+    env, policy, params = _setup(tmp_path)
+    ref = evaluate(policy, params, env, CFG, limit=6)
+    mesh = make_agent_mesh(8)
+    got = evaluate_batched(policy, params, env, CFG, limit=6,
+                           batch_size=8, mesh=mesh)
+    assert sorted(ref) == sorted(got)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        evaluate_batched(policy, params, env, CFG, limit=6,
+                         batch_size=6, mesh=mesh)

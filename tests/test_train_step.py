@@ -296,3 +296,43 @@ def test_param_pspec_shards_largest_divisible_axis():
     assert param_pspec(np.zeros((7, 9)), 8) == P()          # indivisible
     assert param_pspec(np.zeros((64,)), 8) == P()           # 1-D
     assert param_pspec(np.zeros((16, 16)), 8) == P()        # below min
+
+
+def test_bf16_precast_feature_upload_is_bit_identical():
+    """tools/train.py's transfer thread pre-casts features to the bf16
+    compute dtype BEFORE the host->device upload (halving the dominant
+    transfer).  The encoder's first touch of the features is that exact
+    cast in-graph, so the train step must be BIT-identical either way —
+    loss, metrics, and every updated parameter."""
+    cfg = dataclasses.replace(TINY, dtype=jnp.bfloat16)
+    model, state, batch, tc = _init(cfg)
+    step = make_train_step(cfg, tc, donate=False)
+    pre = dict(batch, features=np.asarray(
+        batch["features"]).astype(jnp.bfloat16))
+    s1, m1 = step(state, batch, jax.random.PRNGKey(3))
+    s2, m2 = step(state, pre, jax.random.PRNGKey(3))
+    assert float(m1["loss"]) == float(m2["loss"])
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_staged_batches_matches_inline_and_propagates_errors():
+    """train.feed.staged_batches yields exactly place(b) for every batch
+    in order (one-ahead threading must not reorder or drop), and a
+    placement failure re-raises in the consumer."""
+    import pytest
+
+    from vln_ver_tpu.train import staged_batches
+
+    items = list(range(7))
+    out = list(staged_batches(iter(items), lambda x: x * 10))
+    assert out == [x * 10 for x in items]
+    assert list(staged_batches(iter([]), lambda x: x)) == []
+
+    def boom(x):
+        if x == 2:
+            raise ValueError("bad batch")
+        return x
+
+    with pytest.raises(ValueError, match="bad batch"):
+        list(staged_batches(iter(items), boom))

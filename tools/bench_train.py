@@ -21,6 +21,124 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _run_e2e(args, cfg, model, params, tc):
+    """The REAL train loop (tools/train.py's recipe) on an on-disk
+    synthetic dataset, measured end to end, with attribution:
+
+    * ``loader``      — prefetching HDF5 reads + collate only (host);
+    * ``serial``      — loader + inline host->device transfer + donated
+                        step, transfer on the MAIN thread (the loop shape
+                        before round 5);
+    * ``overlapped``  — the shipping loop: transfer staged one batch
+                        ahead on a thread (train.feed.staged_batches).
+
+    Timing is device-honest on the axon tunnel: per-step metrics are
+    never fetched inside the timed window; one scalar fetch at the end
+    syncs the whole dependency chain (state_k depends on every step).
+    """
+    import time
+
+    import jax
+
+    from vln_ver_tpu.data import MP3DDataset, make_synthetic_dataset
+    from vln_ver_tpu.data.mp3d import iterate_batches
+    from vln_ver_tpu.parallel import make_mesh, replicate, shard_batch
+    from vln_ver_tpu.train import (create_train_state, make_train_step,
+                                   staged_batches)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = (f"train_c{cfg.num_cams}_f{cfg.feat_h}x{cfg.in_channels}"
+           f"_o{cfg.occ_zdim}x{cfg.occ_ydim}x{cfg.occ_xdim}"
+           f"_n{args.volumes}")
+    root = os.path.join(here, ".bench_data", tag)
+    ann = os.path.join(root, "mp3d_trainval.pkl")
+    if not os.path.exists(ann):
+        os.makedirs(root, exist_ok=True)
+        ann = make_synthetic_dataset(
+            root, num_scans=1, viewpoints_per_scan=args.volumes,
+            num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
+            feat_dim=cfg.in_channels,
+            occ_dims=(cfg.occ_zdim, cfg.occ_ydim, cfg.occ_xdim),
+            pc_range=cfg.pc_range)
+    dataset = MP3DDataset(ann, root, voxel_num=cfg.voxel_num,
+                          occupancy_classes=cfg.occupancy_classes,
+                          num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
+                          max_gt=args.max_gt)
+
+    b = args.batch
+    mesh = make_mesh((1, 1))
+    state = replicate(mesh, create_train_state(model, params, tc))
+    step_fn = make_train_step(cfg, tc, donate=True)
+
+    def batches(n):
+        """n train batches in the loop's epoch order (wrapping)."""
+        done = 0
+        epoch = 0
+        while done < n:
+            import numpy as np
+            order = np.random.default_rng(epoch).permutation(len(dataset))
+            for batch in iterate_batches(dataset, b, indices=order,
+                                         drop_last=True):
+                if done == n:
+                    return
+                done += 1
+                yield batch
+            epoch += 1
+
+    import jax.numpy as jnp
+    import numpy as np
+    upload_cast = (jnp.dtype(cfg.dtype)
+                   if jnp.dtype(cfg.dtype).itemsize < 4 else None)
+
+    def place(batch):
+        # tools/train.py's exact placement: bf16 pre-cast upload
+        # (bit-identical — the encoder's first touch is this cast) +
+        # sharded device_put
+        batch.pop("token", None)
+        if upload_cast is not None:
+            batch["features"] = np.asarray(
+                batch["features"]).astype(upload_cast)
+        return shard_batch(mesh, batch)
+
+    def timed_loop(n, overlap):
+        nonlocal state
+        rng = jax.random.PRNGKey(0)
+        it = (staged_batches(batches(n), place) if overlap
+              else (place(x) for x in batches(n)))
+        t0 = time.perf_counter()
+        metrics = None
+        with mesh:
+            for i, sharded in enumerate(it):
+                state, metrics = step_fn(state, sharded,
+                                         jax.random.fold_in(rng, i))
+        loss = float(metrics["loss"])   # syncs the whole chain
+        return n / (time.perf_counter() - t0), loss
+
+    # warm: compile + page-cache the dataset files (untimed)
+    rate, loss = timed_loop(2, overlap=True)
+    assert loss == loss, "NaN loss in e2e bench"
+
+    t0 = time.perf_counter()
+    for _ in batches(args.steps):
+        pass
+    loader_rate = args.steps / (time.perf_counter() - t0)
+
+    serial_rate, _ = timed_loop(args.steps, overlap=False)
+    overlap_rate, _ = timed_loop(args.steps, overlap=True)
+
+    print(json.dumps({
+        "metric": "train_e2e_steps_per_sec",
+        "value": round(overlap_rate, 4),
+        "unit": "steps/s",
+        "samples_per_sec": round(overlap_rate * b, 3),
+        "serial_steps_per_sec": round(serial_rate, 4),
+        "loader_batches_per_sec": round(loader_rate, 4),
+        "overlap_speedup": round(overlap_rate / serial_rate, 3),
+        "batch": b, "cams": args.cams, "steps": args.steps,
+        "upload": str(upload_cast) if upload_cast else "float32",
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cams", type=int, default=36)
@@ -41,6 +159,18 @@ def main():
                         "forward+backward only; fwd = losses only.  "
                         "Differencing the three isolates backward and "
                         "optimizer cost.")
+    p.add_argument("--e2e", action="store_true",
+                   help="measure the REAL training loop instead of the "
+                        "scanned step: prefetching HDF5 reads -> collate "
+                        "-> host->device transfer -> donated step on an "
+                        "on-disk synthetic dataset, with loader / "
+                        "transfer / overlap attribution (the loop "
+                        "tools/train.py runs; reference 4-worker "
+                        "DataLoader recipe, datasets/builder.py:19)")
+    p.add_argument("--steps", type=int, default=12,
+                   help="--e2e: timed steps per measurement")
+    p.add_argument("--volumes", type=int, default=16,
+                   help="--e2e: on-disk dataset size (viewpoints)")
     args = p.parse_args()
 
     import jax
@@ -89,6 +219,10 @@ def main():
                         shift[:1])
     tc = TrainConfig(warmup_steps=10, total_steps=1000)
     state0 = create_train_state(model, params, tc)
+
+    if args.e2e:
+        _run_e2e(args, cfg, model, params, tc)
+        return
 
     from vln_ver_tpu.train.objective import compute_losses
 

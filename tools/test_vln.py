@@ -33,6 +33,13 @@ def parse_args():
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--embed-dims", type=int, default=None)
     p.add_argument("--work-dir", default="work_dirs/vln")
+    p.add_argument("--batch", type=int, default=None,
+                   help="lockstep-batched eval: episodes per policy call "
+                        "(rollout.evaluate_batched; default: per-episode)")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="shard the eval batch over N local devices "
+                        "(('data',) agent mesh; implies --batch, default "
+                        "N episodes per call)")
     return p.parse_args()
 
 
@@ -101,7 +108,17 @@ def main():
     params = restore_state(args.checkpoint, step, params)
     print(f"restored policy step {step}")
 
-    metrics = evaluate(policy, params, env, cfg, limit=args.limit)
+    if args.mesh or args.batch:
+        from vln_ver_tpu.agent.parallel import make_agent_mesh
+        from vln_ver_tpu.agent.rollout import evaluate_batched
+
+        mesh = make_agent_mesh(args.mesh) if args.mesh else None
+        batch = args.batch or args.mesh
+        metrics = evaluate_batched(policy, params, env, cfg,
+                                   limit=args.limit, batch_size=batch,
+                                   mesh=mesh)
+    else:
+        metrics = evaluate(policy, params, env, cfg, limit=args.limit)
     print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}))
 
 

@@ -98,7 +98,7 @@ def main():
     from vln_ver_tpu.models import VoxelFormer
     from vln_ver_tpu.parallel import make_mesh, replicate, shard_batch
     from vln_ver_tpu.train import (TrainConfig, create_train_state,
-                                   make_train_step)
+                                   make_train_step, staged_batches)
     from vln_ver_tpu.train.state import make_lr_schedule, param_count
     from vln_ver_tpu.utils.checkpoint import (latest_step, restore_state,
                                               save_state)
@@ -251,6 +251,9 @@ def main():
     best_metric = float("-inf")
     val_ds = None
     val_kw = {}
+    import jax.numpy as jnp
+    upload_cast = (jnp.dtype(ver.dtype)
+                   if jnp.dtype(ver.dtype).itemsize < 4 else None)
     with mesh:
         while step < total_steps:
             # deterministic per-epoch shuffle (the reference's
@@ -261,12 +264,27 @@ def main():
                 order = order[skip_batches * batch_size:]
                 skip_batches = 0
             epoch += 1
-            for batch in iterate_batches(dataset, batch_size,
-                                         indices=order, drop_last=True):
+
+            def _place(b):
+                # runs on the transfer thread: upload batch k+1 while
+                # batch k's step is in flight (train.feed.staged_batches;
+                # same placement math the loop used inline).  bf16
+                # configs pre-cast the features before the host->device
+                # transfer — the encoder's first touch is that exact
+                # cast in-graph, so the math is bit-identical
+                # (tests/test_train_step.py) while the dominant upload
+                # halves (the ver_writer "auto" rule).
+                b.pop("token", None)
+                if upload_cast is not None:
+                    b["features"] = np.asarray(
+                        b["features"]).astype(upload_cast)
+                return shard_batch(mesh, b)
+
+            for sharded in staged_batches(
+                    iterate_batches(dataset, batch_size, indices=order,
+                                    drop_last=True), _place):
                 if step >= total_steps:
                     break
-                batch.pop("token", None)
-                sharded = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, sharded,
                                          jax.random.fold_in(rng, step))
                 step += 1

@@ -98,7 +98,8 @@ def run_episode(policy: VLNPolicy, params, env: R2REnv, ep_idx: int,
 
 def run_episodes_batched(policy: VLNPolicy, params, env: R2REnv,
                          ep_idxs, cfg: PolicyConfig, greedy: bool = True,
-                         rng=None, collect_teacher: bool = False):
+                         rng=None, collect_teacher: bool = False,
+                         mesh=None):
     """Lockstep-batched rollouts: one jitted policy call per step for B
     episodes (the policy is row-independent, so per-episode results match
     :func:`run_episode` exactly — tests/test_batched_rollout.py).
@@ -106,9 +107,20 @@ def run_episodes_batched(policy: VLNPolicy, params, env: R2REnv,
     Graph stepping stays host-side per episode; finished episodes are
     frozen (their rows still flow through the batch, outputs ignored).
     Returns (metrics_list, traces_list) parallel to ``ep_idxs``.
+
+    ``mesh``: an :func:`~vln_ver_tpu.agent.parallel.make_agent_mesh`
+    ('data',) mesh — the per-step batch shards over its devices and
+    GSPMD partitions the (row-independent) policy step, scaling eval
+    throughput with device count (the reference's own eval-sharding
+    pattern, samplers/distributed_sampler.py:36-39, applied to the
+    agent).  ``len(ep_idxs)`` must divide by the mesh size; results are
+    device-count-independent (tests/test_batched_rollout.py).
     """
     if not greedy and rng is None:
         raise ValueError("sampled rollout (greedy=False) requires rng")
+    if mesh is not None:
+        from .parallel import replicate_agent, shard_agent_batch
+        params = replicate_agent(mesh, params)
     bsz = len(ep_idxs)
     states = [env.reset(i) for i in ep_idxs]
     text_feats = None
@@ -121,13 +133,16 @@ def run_episodes_batched(policy: VLNPolicy, params, env: R2REnv,
         obs = [env.observe(s) if a else o
                for s, a, o in zip(states, active, last_obs)]
         last_obs = obs
-        b = {k: jnp.asarray(np.stack([o[k] for o in obs]))
-             for k in obs[0]}
+        b = {k: np.stack([o[k] for o in obs]) for k in obs[0]}
+        b = (shard_agent_batch(mesh, b) if mesh is not None
+             else {k: jnp.asarray(v) for k, v in b.items()})
         # one host build + one transfer for the whole batch (finished
         # episodes rebuild from their frozen final state — identical
         # rows, outputs ignored)
         batch_arrs = [env.memory_arrays(s) for s in states]
         mem = memory_from_arrays(batch_arrs)
+        if mesh is not None:
+            mem = shard_agent_batch(mesh, mem)
 
         obj_kw = {}
         if "obj_feats" in b:
@@ -171,6 +186,37 @@ def evaluate(policy: VLNPolicy, params, env: R2REnv,
         metrics, _ = run_episode(policy, params, env, i, cfg, greedy=True)
         for k, v in metrics.items():
             agg[k] = agg.get(k, 0.0) + v
+    return {k: v / n for k, v in agg.items()}
+
+
+def evaluate_batched(policy: VLNPolicy, params, env: R2REnv,
+                     cfg: PolicyConfig, limit: int | None = None,
+                     batch_size: int = 8, mesh=None) -> Dict[str, float]:
+    """:func:`evaluate` via lockstep-batched greedy rollouts, optionally
+    sharded over an agent ('data',) mesh.  SR/SPL evaluation over
+    hundreds of episodes is embarrassingly parallel across episodes —
+    one policy call per decision step serves ``batch_size`` episodes,
+    and the mesh splits that batch across devices.  The short final
+    chunk is padded by repeating its last episode (padding rows'
+    metrics are dropped), keeping one compiled batch shape.  Per-episode
+    metrics are identical to :func:`evaluate`'s
+    (tests/test_batched_rollout.py)."""
+    n = min(len(env.episodes), limit or len(env.episodes))
+    if mesh is not None:
+        dcount = int(mesh.devices.shape[0])
+        if batch_size % dcount:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"mesh size {dcount}")
+    agg: Dict[str, float] = {}
+    for lo in range(0, n, batch_size):
+        idxs = list(range(lo, min(lo + batch_size, n)))
+        real = len(idxs)
+        idxs += [idxs[-1]] * (batch_size - real)   # pad, drop below
+        metrics, _ = run_episodes_batched(policy, params, env, idxs, cfg,
+                                          greedy=True, mesh=mesh)
+        for m in metrics[:real]:
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0.0) + v
     return {k: v / n for k, v in agg.items()}
 
 
