@@ -27,7 +27,9 @@ def test_fire_drill_synthetic(tmp_path):
     assert r.returncode == 0, out[-4000:]
     assert "all stages green" in out, out[-4000:]
     for stage in ("contract", "capacity", "convert", "eval", "dump",
-                  "vln"):
+                  "images", "mesh_dump", "vln"):
         assert f"{stage}: PASS" in out, (stage, out[-4000:])
-    # the dump stage left a real artifact
+    # the dump stages left real artifacts
     assert (tmp_path / "drill" / "ver.hdf5").exists()
+    assert (tmp_path / "drill" / "ver_from_images.hdf5").exists()
+    assert (tmp_path / "drill" / "ver_mesh.hdf5").exists()

@@ -64,17 +64,21 @@ def parse_args():
     p.add_argument("--connectivity", default=None,
                    help="MP3D connectivity graphs (forwarded to train_vln)")
     p.add_argument("--work-dir", default="work_dirs/fire_drill")
+    p.add_argument("--vit-checkpoint", default=None,
+                   help="HF ViT .pth for the image->VER stage (random "
+                        "weights otherwise — smoke only)")
     p.add_argument("--skip", nargs="*", default=[],
                    metavar="STAGE",
                    help="stage names to skip (contract capacity convert "
-                        "eval dump vln)")
+                        "eval dump images mesh_dump vln)")
     return p.parse_args()
 
 
-def _run(cmd, log_path):
+def _run(cmd, log_path, extra_env=None):
     """Run a stage subprocess; returns (ok, tail)."""
     env = dict(os.environ, JAX_PLATFORMS=os.environ.get(
         "FIRE_DRILL_PLATFORM", "cpu"))
+    env.update(extra_env or {})
     with open(log_path, "w") as log:
         r = subprocess.run([sys.executable] + cmd, cwd=REPO, env=env,
                            stdout=log, stderr=subprocess.STDOUT)
@@ -221,6 +225,70 @@ def main():
                 n = len(f)
             ok, tail = n > 0, f"{tail}\n{n} volumes in {ver_h5}"
         record("dump", ok, tail)
+
+    # 5b. fused image->VER dump (--from-images): uint8 panorama views
+    # through the on-chip ViT + lift in one program.  Synthetic mode
+    # generates images; on real data the stage runs only when the
+    # panorama_images.hdf5 artifact exists.
+    if "images" not in args.skip:
+        from vln_ver_tpu.config.api import dataset_kwargs
+        ds_kw = dataset_kwargs(cfg, "test") or dataset_kwargs(cfg, "val")
+        have_imgs = args.synthetic or (ds_kw and os.path.exists(
+            os.path.join(ds_kw["data_root"] or "",
+                         "panorama_images.hdf5")))
+        if not have_imgs:
+            print("[fire_drill] images: skipped (no panorama_images.hdf5"
+                  " under the data root)", flush=True)
+        else:
+            img_h5 = os.path.join(args.work_dir, "ver_from_images.hdf5")
+            if os.path.exists(img_h5):
+                os.remove(img_h5)
+            cmd = [f"{HERE}/get_occ.py", args.config, "--from-images",
+                   "--limit", str(args.limit), "--out", img_h5] + syn
+            if args.synthetic:
+                # tiny-config-safe ViT (heads must divide in_channels)
+                cmd += ["--vit-layers", "2", "--vit-heads", "4"]
+            if args.vit_checkpoint:
+                cmd += ["--vit-checkpoint", args.vit_checkpoint]
+            if ckpt:
+                cmd += ["--checkpoint", ckpt]
+            ok, tail = _run(cmd, f"{args.work_dir}/images.log")
+            if ok:
+                import h5py
+                with h5py.File(img_h5, "r") as f:
+                    n = len(f)
+                ok, tail = n > 0, f"{tail}\n{n} fused volumes in {img_h5}"
+            record("images", ok, tail)
+
+    # 5c. the SAME dump under a 2-device mesh must reproduce stage 5's
+    # volumes (GSPMD camera-axis reduction tolerance) — validates the
+    # scale-out path on day one.  CPU stages only: forcing virtual
+    # devices on a 1-chip TPU tunnel would be a lie.
+    if ("mesh_dump" not in args.skip and "dump" not in args.skip
+            and os.environ.get("FIRE_DRILL_PLATFORM", "cpu") == "cpu"):
+        mesh_h5 = os.path.join(args.work_dir, "ver_mesh.hdf5")
+        if os.path.exists(mesh_h5):
+            os.remove(mesh_h5)
+        cmd = [f"{HERE}/get_occ.py", args.config,
+               "--limit", str(args.limit), "--out", mesh_h5,
+               "--mesh", "2", "--batch-size", "2"] + syn
+        if ckpt:
+            cmd += ["--checkpoint", ckpt]
+        ok, tail = _run(
+            cmd, f"{args.work_dir}/mesh_dump.log",
+            extra_env={"XLA_FLAGS":
+                       "--xla_force_host_platform_device_count=2"})
+        if ok and os.path.exists(ver_h5):
+            import h5py
+            import numpy as np
+            with h5py.File(ver_h5, "r") as fa, \
+                    h5py.File(mesh_h5, "r") as fb:
+                same = sorted(fa) == sorted(fb)
+                err = max((float(np.abs(fa[k][:] - fb[k][:]).max())
+                           for k in fa), default=0.0) if same else np.inf
+            ok = same and err < 1e-3
+            tail += f"\nmesh-vs-plain max abs dev: {err:.2e}"
+        record("mesh_dump", ok, tail)
 
     # 6. VLN agent smoke: a few imitation steps must run and report NLL
     if "vln" not in args.skip:

@@ -107,7 +107,14 @@ def main():
     image_size = ver.feat_h * args.vit_patch_size
     ds_kw = dataset_kwargs(cfg, "test")
     ann, root = ds_kw["ann_file"], ds_kw["data_root"]
-    if not os.path.exists(ann):
+    # --from-images against a synthetic dataset generated WITHOUT images
+    # (e.g. by an earlier feature-path run sharing the root): regenerate
+    # — same seed, so the ann/w2p/occ bytes are identical and only the
+    # panorama_images.hdf5 artifact is added
+    imgs_missing = args.from_images and not os.path.exists(
+        args.image_file or os.path.join(root or "data/mp3d",
+                                        "panorama_images.hdf5"))
+    if not os.path.exists(ann) or (args.synthetic and imgs_missing):
         if not args.synthetic:
             raise FileNotFoundError(ann)
         os.makedirs(root or "data/mp3d", exist_ok=True)
