@@ -107,13 +107,29 @@ def main():
     image_size = ver.feat_h * args.vit_patch_size
     ds_kw = dataset_kwargs(cfg, "test")
     ann, root = ds_kw["ann_file"], ds_kw["data_root"]
-    # --from-images against a synthetic dataset generated WITHOUT images
-    # (e.g. by an earlier feature-path run sharing the root): regenerate
-    # — same seed, so the ann/w2p/occ bytes are identical and only the
-    # panorama_images.hdf5 artifact is added
-    imgs_missing = args.from_images and not os.path.exists(
-        args.image_file or os.path.join(root or "data/mp3d",
-                                        "panorama_images.hdf5"))
+    # --from-images against a synthetic root whose image HDF5 is absent
+    # OR lacks THIS ann's keys (synthetic splits share one root, and an
+    # earlier run may have written images for a different split's
+    # tokens): fall back to regenerating the self-consistent 'forall'
+    # split WITH images — deterministic seed, so shared per-token
+    # artifacts (features/w2p/occ) keep their bytes
+    imgs_missing = False
+    if args.from_images:
+        img_path = (args.image_file
+                    or os.path.join(root or "data/mp3d",
+                                    "panorama_images.hdf5"))
+        if not os.path.exists(img_path):
+            imgs_missing = True
+        elif os.path.exists(ann):
+            import pickle
+
+            import h5py
+            with open(ann, "rb") as f:
+                infos = pickle.load(f)
+            if infos:
+                scan, vp = infos[0]["token"].split("_")
+                with h5py.File(img_path, "r") as f:
+                    imgs_missing = f"{scan}_{vp}_i1_0" not in f
     if not os.path.exists(ann) or (args.synthetic and imgs_missing):
         if not args.synthetic:
             raise FileNotFoundError(ann)
