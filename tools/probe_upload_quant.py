@@ -202,17 +202,19 @@ def main():
         jnp.asarray(any_vol.reshape(cfg.embed_dims, -1).T[None]),
         mem, pos, slot)
 
+    # params must be an ARGUMENT: closing over the 82M-param tree bakes
+    # ~330 MB of constants into the HLO, which the tunnel's compile
+    # endpoint rejects (HTTP 413)
     @jax.jit
-    def action_probs(vol):
-        out = policy.apply(pparams, tokens, tokens > 0, vol, mem, pos,
-                           slot)
+    def action_probs(p, vol):
+        out = policy.apply(p, tokens, tokens > 0, vol, mem, pos, slot)
         return jax.nn.softmax(out.logits, axis=-1)
 
     tvs, act_flips = [], 0
     for k, ref in vols["auto"].items():
-        pa = np.asarray(action_probs(jnp.asarray(
+        pa = np.asarray(action_probs(pparams, jnp.asarray(
             ref.reshape(cfg.embed_dims, -1).T[None])))
-        pb = np.asarray(action_probs(jnp.asarray(
+        pb = np.asarray(action_probs(pparams, jnp.asarray(
             vols["int8"][k].reshape(cfg.embed_dims, -1).T[None])))
         tvs.append(0.5 * float(np.abs(pa - pb).sum()))
         act_flips += int(pa.argmax() != pb.argmax())
