@@ -46,12 +46,16 @@ def _derived_qcap(cfg, w2p, shift) -> int:
     return min(int(-(-need // 64) * 64), cfg.bev_num)
 
 
-def _e2e_dataset(cfg, n_volumes: int, root: str):
-    """Build (once; reused across runs) a full-shape synthetic dataset on
-    disk so the e2e number includes real HDF5 feature reads."""
+def _e2e_dataset(cfg, n_volumes: int, root: str, image_hw=None,
+                 from_images: bool = False):
+    """Build (once; reused across runs — the generator writes
+    ``mp3d_forall.pkl``, checked here by that exact name) a full-shape
+    synthetic dataset on disk so the e2e number includes real HDF5
+    reads.  ``image_hw``/``from_images`` switch it to the raw-uint8-view
+    dataset for the fused image->VER leg (no feature store)."""
     from vln_ver_tpu.data import MP3DDataset, make_synthetic_dataset
 
-    ann = os.path.join(root, "mp3d_infos_forall.pkl")
+    ann = os.path.join(root, "mp3d_forall.pkl")
     if not os.path.exists(ann):
         os.makedirs(root, exist_ok=True)
         ann = make_synthetic_dataset(
@@ -59,11 +63,16 @@ def _e2e_dataset(cfg, n_volumes: int, root: str):
             num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
             feat_dim=cfg.in_channels,
             occ_dims=(cfg.occ_zdim, cfg.occ_ydim, cfg.occ_xdim),
-            pc_range=cfg.pc_range, split="forall")
+            pc_range=cfg.pc_range, split="forall",
+            image_hw=image_hw, write_features=image_hw is None)
+    # the one-pass image dump must not cache 5.4 MB of raw views per
+    # viewpoint (data/mp3d.py _get_image); the feature path keeps the
+    # established cache semantics so the benched workload is unchanged
     return MP3DDataset(ann, root, voxel_num=cfg.voxel_num,
                        occupancy_classes=cfg.occupancy_classes,
                        num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
-                       test_mode=True)
+                       test_mode=True, from_images=from_images,
+                       cache_features=not from_images)
 
 
 def main():
@@ -242,7 +251,6 @@ def main():
             and os.environ.get("BENCH_E2E_IMAGES", "1") != "0"):
         import tempfile
 
-        from vln_ver_tpu.data import MP3DDataset, make_synthetic_dataset
         from vln_ver_tpu.models.vit import (vit_feature_frontend,
                                             vit_for_ver)
         from vln_ver_tpu.ver_writer import dump_volumes
@@ -250,22 +258,11 @@ def main():
         here = os.path.dirname(os.path.abspath(__file__))
         n_vol = int(os.environ.get("BENCH_E2E_VOLUMES", "32"))
         img_size = cfg.feat_h * 16
-        root = os.path.join(here, ".bench_data",
-                            f"e2e_img_c{cfg.num_cams}_s{img_size}_n{n_vol}")
-        ann = os.path.join(root, "mp3d_infos_forall.pkl")
-        if not os.path.exists(ann):
-            os.makedirs(root, exist_ok=True)
-            ann = make_synthetic_dataset(
-                root, num_scans=1, viewpoints_per_scan=n_vol,
-                num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
-                feat_dim=cfg.in_channels,
-                occ_dims=(cfg.occ_zdim, cfg.occ_ydim, cfg.occ_xdim),
-                pc_range=cfg.pc_range, split="forall",
-                image_hw=(img_size, img_size), write_features=False)
-        ds_img = MP3DDataset(ann, root, voxel_num=cfg.voxel_num,
-                             occupancy_classes=cfg.occupancy_classes,
-                             num_cams=cfg.num_cams, feat_hw=cfg.feat_h,
-                             test_mode=True, from_images=True)
+        ds_img = _e2e_dataset(
+            cfg, n_vol,
+            os.path.join(here, ".bench_data",
+                         f"e2e_img_c{cfg.num_cams}_s{img_size}_n{n_vol}"),
+            image_hw=(img_size, img_size), from_images=True)
         vit = vit_for_ver(cfg, dtype=jnp.bfloat16)  # ViT-B/16 @ 224
         vit_vars = vit.init(jax.random.PRNGKey(1),
                             np.zeros((1, img_size, img_size, 3),

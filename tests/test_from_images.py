@@ -181,3 +181,50 @@ def test_get_occ_cli_from_images(tmp_path):
         assert len(f) == 4
         for k in f:
             assert f[k].compression == "gzip"
+
+
+def test_synthetic_regeneration_is_byte_stable(tmp_path):
+    """Regenerating a synthetic root is BYTE-STABLE even when artifacts
+    already exist: every random artifact draws from its own
+    (seed, split, indices)-keyed stream (synthetic._key_rng), so a
+    second call — e.g. get_occ backfilling panorama images next to an
+    existing feature store — rewrites ann/w2p/occ with identical bytes
+    and only ADDS the missing image keys.  (Regression: the old single
+    sequential rng stream shifted whenever a draw was skipped because a
+    key existed, silently rewriting every later viewpoint's geometry
+    and ground truth.)"""
+    import json
+    import pickle
+
+    import h5py
+
+    from vln_ver_tpu.data import make_synthetic_dataset
+
+    root = str(tmp_path)
+    kw = dict(num_scans=1, viewpoints_per_scan=3, num_cams=2, feat_hw=4,
+              feat_dim=8, occ_dims=(4, 8, 8), split="forall")
+    ann = make_synthetic_dataset(root, **kw)
+
+    def snapshot():
+        with open(ann, "rb") as f:
+            infos = pickle.load(f)
+        with open(os.path.join(root, "world2pixel",
+                               "forallscan000.json")) as f:
+            w2p = f.read()
+        occs = {i["token"]: np.load(i["occ_gt_path"]).tobytes()
+                for i in infos}
+        return infos, w2p, occs
+
+    infos1, w2p1, occ1 = snapshot()
+    # second generation: features exist (draws skipped), images added
+    ann2 = make_synthetic_dataset(root, image_hw=(16, 16), **kw)
+    assert ann2 == ann
+    infos2, w2p2, occ2 = snapshot()
+    assert w2p2 == w2p1
+    assert occ2 == occ1
+    for a, b in zip(infos1, infos2):
+        assert a["token"] == b["token"]
+        np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+    with h5py.File(os.path.join(root, "panorama_images.hdf5"), "r") as f:
+        assert len(f) == 3 * 2   # images landed for every (vp, cam)

@@ -155,3 +155,4 @@ def test_pipeline_on_voxel_encoder_layer():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5,
             err_msg=jax.tree_util.keystr(k))
+

@@ -233,8 +233,10 @@ def main():
     if "images" not in args.skip:
         from vln_ver_tpu.config.api import dataset_kwargs
         ds_kw = dataset_kwargs(cfg, "test") or dataset_kwargs(cfg, "val")
+        # anchor relative roots to REPO — the stage subprocesses run with
+        # cwd=REPO (_run), the drill itself may be launched elsewhere
         have_imgs = args.synthetic or (ds_kw and os.path.exists(
-            os.path.join(ds_kw["data_root"] or "",
+            os.path.join(REPO, ds_kw["data_root"] or "",
                          "panorama_images.hdf5")))
         if not have_imgs:
             print("[fire_drill] images: skipped (no panorama_images.hdf5"

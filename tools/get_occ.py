@@ -130,6 +130,11 @@ def main():
                 scan, vp = infos[0]["token"].split("_")
                 with h5py.File(img_path, "r") as f:
                     imgs_missing = f"{scan}_{vp}_i1_0" not in f
+    if imgs_missing and not args.synthetic:
+        raise FileNotFoundError(
+            f"--from-images: {img_path} is missing (or lacks this "
+            "split's keys); extract panorama views first or pass "
+            "--image-file")
     if not os.path.exists(ann) or (args.synthetic and imgs_missing):
         if not args.synthetic:
             raise FileNotFoundError(ann)
@@ -144,11 +149,15 @@ def main():
                                      image_hw=((image_size, image_size)
                                                if args.from_images
                                                else None))
+    # the dump reads each viewpoint exactly once — caching raw uint8
+    # views (5.4 MB each at full size) would grow RSS by the whole
+    # image store over a long dump for zero re-reads
     dataset = MP3DDataset(ann, root, voxel_num=ver.voxel_num,
                           occupancy_classes=ver.occupancy_classes,
                           num_cams=ver.num_cams, feat_hw=ver.feat_h,
                           test_mode=True, from_images=args.from_images,
-                          image_file=args.image_file)
+                          image_file=args.image_file,
+                          cache_features=not args.from_images)
 
     model = VoxelFormer(ver)
     s0 = dataset[0]

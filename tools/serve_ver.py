@@ -283,6 +283,7 @@ def serve(args) -> int:
     # fused image->VER program (--images): uint8 views -> on-chip ViT
     # frontend -> lift, one compiled program per request kind
     forward_images = None
+    img_params = None
     image_size = ver.feat_h * args.vit_patch_size
     if args.images:
         from vln_ver_tpu.models.vit import (convert_hf_vit_params,
@@ -305,10 +306,16 @@ def serve(args) -> int:
             vit_vars = vit.init(jax.random.PRNGKey(1), jnp.zeros(
                 (1, image_size, image_size, 3)))
 
+        # ViT weights must be a jit ARGUMENT: closing over the ~86M-param
+        # tree bakes ~344 MB of constants into the HLO, which the axon
+        # tunnel's compile endpoint rejects (HTTP 413 — same failure
+        # fixed in tools/probe_upload_quant.py)
+        img_params = {"ver": params, "vit": vit_vars}
+
         @jax.jit
-        def forward_images(params, images, w2p, shift):
-            feats = vit_feature_frontend(vit, vit_vars, images)
-            return _heads(params, feats, w2p, shift)
+        def forward_images(p, images, w2p, shift):
+            feats = vit_feature_frontend(vit, p["vit"], images)
+            return _heads(p["ver"], feats, w2p, shift)
 
     served = 0
     print(f"serve_ver: queue={args.queue} batch_max={B} "
@@ -404,8 +411,8 @@ def serve(args) -> int:
         keepalive.start()
         results = []  # (path, volume, occupancy-or-None)
         try:
-            for kind, fwd in (("features", forward),
-                              ("images", forward_images)):
+            for kind, fwd, fp in (("features", forward, params),
+                                  ("images", forward_images, img_params)):
                 g = groups[kind]
                 if not g["ok"]:
                     continue
@@ -413,7 +420,7 @@ def serve(args) -> int:
                 bx, bw, bs = list(g["x"]), list(g["w"]), list(g["s"])
                 while len(bx) < B:  # pad to the compiled batch
                     bx.append(bx[-1]); bw.append(bw[-1]); bs.append(bs[-1])
-                vol, occ = fwd(params, jnp.asarray(np.stack(bx)),
+                vol, occ = fwd(fp, jnp.asarray(np.stack(bx)),
                                jnp.asarray(np.stack(bw)),
                                jnp.asarray(np.stack(bs)))
                 vol = np.asarray(vol[:n])

@@ -207,6 +207,11 @@ def evaluate_batched(policy: VLNPolicy, params, env: R2REnv,
         if batch_size % dcount:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"mesh size {dcount}")
+        # replicate ONCE for the whole eval; run_episodes_batched's own
+        # replicate_agent is then a no-op device_put (same sharding), so
+        # the param tree is not re-uploaded per chunk
+        from .parallel import replicate_agent
+        params = replicate_agent(mesh, params)
     agg: Dict[str, float] = {}
     for lo in range(0, n, batch_size):
         idxs = list(range(lo, min(lo + batch_size, n)))

@@ -17,11 +17,23 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import zlib
 from typing import Sequence
 
 import numpy as np
 
 from ..geometry import make_pinhole_world2pixel
+
+
+def _key_rng(seed: int, split: str, *idx: int) -> np.random.Generator:
+    """Generator keyed on (seed, split, indices) — every random artifact
+    draws from its OWN stream, so regenerating over a partially
+    populated root (e.g. get_occ backfilling images next to existing
+    features) reproduces the identical bytes for everything else:
+    which keys already exist on disk can never shift another
+    artifact's draws."""
+    return np.random.default_rng(
+        [seed, zlib.crc32(split.encode("utf-8")), *idx])
 
 # occupancy class ids from vocc.py occupancy_name
 FLOOR, WALL, CEILING = 2, 1, 14
@@ -103,12 +115,17 @@ def make_synthetic_dataset(root: str,
     (the fused image->VER path's input; data/mp3d.py ``from_images``).
     The images are random and independent of the random features — exact
     image->feature correspondence tests build their features by running
-    the ViT (tests/test_from_images.py)."""
+    the ViT (tests/test_from_images.py).
+
+    Regeneration over a populated root is BYTE-STABLE: every artifact
+    draws from its own (seed, split, indices)-keyed stream
+    (:func:`_key_rng`), so re-calling with the same arguments rewrites
+    ann/w2p/occ with identical bytes and only fills in whatever HDF5
+    keys were missing."""
     import h5py
 
     os.makedirs(os.path.join(root, "world2pixel"), exist_ok=True)
     os.makedirs(os.path.join(root, "occ"), exist_ok=True)
-    rng = np.random.default_rng(seed)
 
     img_h5 = None
     if image_hw is not None:
@@ -132,7 +149,8 @@ def make_synthetic_dataset(root: str,
             for v in range(viewpoints_per_scan):
                 vp = f"vp{v:03d}"
                 token = f"{scan}_{vp}"
-                pos = rng.uniform(-1.0, 1.0, 3) * np.array([1, 1, 0.3])
+                vrng = _key_rng(seed, split, s, v)
+                pos = vrng.uniform(-1.0, 1.0, 3) * np.array([1, 1, 0.3])
                 cords[token] = pos.astype(np.float32)
                 for deg in range(num_cams):
                     key = f"{vp}_i1_{deg}"
@@ -141,16 +159,18 @@ def make_synthetic_dataset(root: str,
                     cam_json[key] = w2p.tolist()
                     fkey = f"{scan}_{vp}_i1_{deg}"
                     if write_features and fkey not in h5:
-                        feat = rng.standard_normal(
+                        feat = _key_rng(
+                            seed, split, s, v, deg, 0).standard_normal(
                             (1, feat_hw * feat_hw + 1, feat_dim)
                         ).astype(np.float32)
                         h5.create_dataset(fkey, data=feat)
                     if img_h5 is not None and fkey not in img_h5:
                         img_h5.create_dataset(
-                            fkey, data=rng.integers(
+                            fkey, data=_key_rng(
+                                seed, split, s, v, deg, 1).integers(
                                 0, 256, (*image_hw, 3)).astype(np.uint8))
                 sparse, invalid, boxes, labels, layout = _rasterise_scene(
-                    rng, pc_range=pc_range, occ_dims=occ_dims)
+                    vrng, pc_range=pc_range, occ_dims=occ_dims)
                 occ_path = os.path.join(root, "occ", f"{token}.npy")
                 np.save(occ_path, sparse)
                 invalid_path = os.path.join(root, "occ",
