@@ -336,3 +336,20 @@ def test_staged_batches_matches_inline_and_propagates_errors():
 
     with pytest.raises(ValueError, match="bad batch"):
         list(staged_batches(iter(items), boom))
+
+
+def test_lr_schedule_clamps_past_total_steps():
+    """Stepping past total_steps (a --max-steps override or a long
+    resume) must HOLD the lr at the cosine floor, not anneal back up the
+    cosine (regression: prog > 1 made cos(pi*prog) rise again)."""
+    from vln_ver_tpu.train.state import make_lr_schedule
+
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                     total_steps=100, min_lr_ratio=1e-2,
+                     steps_per_epoch=0)
+    sched = make_lr_schedule(tc)
+    floor = float(sched(100))
+    np.testing.assert_allclose(floor, 1e-5, rtol=1e-5)
+    for step in (101, 150, 200, 1000):
+        np.testing.assert_allclose(float(sched(step)), floor, rtol=1e-6,
+                                   err_msg=f"step {step}")

@@ -142,30 +142,41 @@ def indoor_eval(gt_annos: Sequence[Dict],
             preds_by_class[int(labels[j])].append(
                 (float(scores[j]), si, boxes[j]))
 
+    # Each detection's (best_iou, best_gi) is THRESHOLD-INDEPENDENT —
+    # VOC semantics (reference indoor_eval.py:125-143) argmax over ALL
+    # GTs, not over still-unmatched ones — so the O(dets x gts)
+    # rotated-IoU work (pure-Python polygon clipping, the dominant eval
+    # cost) runs ONCE; each threshold below replays only the cheap
+    # greedy matching over the precomputed pairs.
+    best_by_class: Dict[int, list] = {}
+    for c in range(num_classes):
+        rows = []
+        for _, si, box in sorted(preds_by_class[c], key=lambda t: -t[0]):
+            gt_boxes = gts_by_class[c].get(si, np.zeros((0, 7)))
+            best_iou, best_gi = 0.0, -1
+            for gi in range(len(gt_boxes)):
+                iou = box3d_iou(box, gt_boxes[gi])
+                if iou > best_iou:
+                    best_iou, best_gi = iou, gi
+            rows.append((si, best_iou, best_gi))
+        best_by_class[c] = rows
+
     metrics: Dict[str, float] = {}
     for thr in iou_thresholds:
         aps, ars = [], []
         for c in range(num_classes):
             npos = gt_count[c]
-            dets = sorted(preds_by_class[c], key=lambda t: -t[0])
+            dets = best_by_class[c]
             if npos == 0:
                 continue
             matched: Dict[int, set] = defaultdict(set)
             tp = np.zeros(len(dets))
             fp = np.zeros(len(dets))
-            for di, (_, si, box) in enumerate(dets):
-                gt_boxes = gts_by_class[c].get(si, np.zeros((0, 7)))
-                # VOC semantics (reference indoor_eval.py:125-143): argmax
-                # over ALL GTs — a duplicate detection whose best GT is
-                # already matched counts FP; it must NOT greedily re-match
-                # a weaker second GT (that would inflate TP/AP).  The
-                # threshold test is strict (iou_max > thresh), matching
-                # the reference.
-                best_iou, best_gi = 0.0, -1
-                for gi in range(len(gt_boxes)):
-                    iou = box3d_iou(box, gt_boxes[gi])
-                    if iou > best_iou:
-                        best_iou, best_gi = iou, gi
+            for di, (si, best_iou, best_gi) in enumerate(dets):
+                # a duplicate detection whose best GT is already matched
+                # counts FP; it must NOT greedily re-match a weaker
+                # second GT (that would inflate TP/AP).  The threshold
+                # test is strict (iou_max > thresh), as in the reference.
                 if best_gi >= 0 and best_iou > thr \
                         and best_gi not in matched[si]:
                     tp[di] = 1

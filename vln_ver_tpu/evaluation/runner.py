@@ -68,8 +68,15 @@ def _eval_fns(model: VoxelFormer, occ_thresholds):
                 post_center_range=cfg.post_center_range))(
                     outs["all_cls_scores"][-1], outs["all_bbox_preds"][-1])
         layouts = outs.get("all_layout_preds")
-        layouts = layouts[-1] if layouts is not None else None
-        return occ, dec, layouts, outs["sca_overflow"]
+        ldec = None
+        if layouts is not None:
+            # decode IN-GRAPH: an eager per-sample decode_layouts costs
+            # ~15 dispatches/sample + a per-row fetch — tens of ms of
+            # tunnel RTT each — where one vmapped decode in the jitted
+            # forward costs nothing extra
+            from ..coders import decode_layouts
+            ldec = jax.vmap(decode_layouts)(layouts[-1])
+        return occ, dec, ldec, outs["sca_overflow"]
 
     @jax.jit
     def occ_hists(occ_logits, gt, weight):
@@ -152,20 +159,31 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
                        "origin_shift": shift}, batch_size)
             feats, w2p, shift = (s["features"], s["world2pixel"],
                                  s["origin_shift"])
-        occ, dec, layout_preds, ovf = forward(params, feats, w2p, shift)
+        elif bsz < batch_size:
+            # pad the short FINAL batch on the plain path too: an odd
+            # trailing shape re-traces `forward` — through the axon
+            # tunnel a second full-size compile costs minutes.  Pad rows
+            # are dropped below (the per-sample loops run over bsz; the
+            # histogram path zero-weights them).
+            def _rep(a):
+                a = np.asarray(a)
+                return np.concatenate(
+                    [a, np.repeat(a[-1:], batch_size - bsz, 0)])
+            feats, w2p, shift = _rep(feats), _rep(w2p), _rep(shift)
+        occ, dec, layout_dec, ovf = forward(params, feats, w2p, shift)
         overflow_dev = jnp.maximum(overflow_dev, ovf)
-        if layout_preds is not None and "gt_layout" in batch:
-            from ..coders import decode_layouts
+        if layout_dec is not None and "gt_layout" in batch:
             from .indoor_eval import box3d_iou
+            # one fetch per batch (the decode ran in-graph in `forward`)
+            lb = np.asarray(layout_dec.bboxes, np.float32)
+            lv = np.asarray(layout_dec.valid, bool)
             for i in range(bsz):
                 if not bool(np.asarray(batch["layout_valid"][i]).any()):
                     layout_rows.append(np.float32(np.nan))
                     continue
-                ldec = decode_layouts(jnp.asarray(layout_preds[i]))
                 gtl = np.asarray(batch["gt_layout"][i][0][:7])
-                ious = [box3d_iou(np.asarray(b)[:7], gtl)
-                        for b, v in zip(ldec.bboxes, np.asarray(ldec.valid))
-                        if v]
+                ious = [box3d_iou(b[:7], gtl)
+                        for b, v in zip(lb[i], lv[i]) if v]
                 layout_rows.append(np.float32(max(ious) if ious else 0.0))
         if occ is not None and "occ_dense" in batch and device_hist:
             # decode + histogram ON DEVICE; only (T, n, n) crosses to host
@@ -180,12 +198,12 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
             w = ((np.asarray(batch["occ_visible"]) == 1).astype(np.int32)
                  if "occ_visible" in batch
                  else np.ones_like(gt, np.int32))
+            if gt.shape[0] < int(occ.shape[0]):  # zero-weight pad rows
+                padn = int(occ.shape[0]) - gt.shape[0]
+                gt = np.concatenate([gt, np.repeat(gt[-1:], padn, 0)])
+                w = np.concatenate(
+                    [w, np.zeros((padn,) + w.shape[1:], np.int32)])
             if mesh is not None:
-                if gt.shape[0] < batch_size:   # zero-weight the pad rows
-                    padn = batch_size - gt.shape[0]
-                    gt = np.concatenate([gt, np.repeat(gt[-1:], padn, 0)])
-                    w = np.concatenate(
-                        [w, np.zeros((padn,) + w.shape[1:], np.int32)])
                 from ..parallel import shard_batch as _shard_batch
                 sb = _shard_batch(mesh, {"gt": gt, "w": w})
                 gt, w = sb["gt"], sb["w"]
@@ -264,8 +282,7 @@ def evaluate_model(model: VoxelFormer, params, dataset: MP3DDataset,
         pred_rows = _gather_tuplelist(pred_rows, 4)
         gt_rows = _gather_tuplelist(gt_rows, 3)
         layout_arr = np.asarray(layout_rows, np.float32)
-        layout_rows = multihost.allgather_results(layout_arr, per) \
-            if layout_rows or multihost.process_count() > 1 else []
+        layout_rows = multihost.allgather_results(layout_arr, per)
 
     metrics: Dict[str, float] = {}
     metrics["sca_overflow"] = overflow

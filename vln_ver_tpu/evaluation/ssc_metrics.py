@@ -35,8 +35,13 @@ def confusion_hist_device(pred, gt, weight, n_classes: int):
     # indices NumPy-style BEFORE the bounds check, so gt=-1 would wrap
     # into the last row instead of dropping
     gt = gt.astype(jnp.int32)
-    w = weight.astype(jnp.int32) * (gt >= 0)
-    idx = (gt * n_classes + pred.astype(jnp.int32)).reshape(-1)
+    pred = pred.astype(jnp.int32)
+    # and the pred filter too: pred outside [0, n) must be DROPPED (the
+    # native path's behavior) — unmasked it would offset the flat index
+    # into a neighbouring gt row (pred >= n) or wrap (pred < 0)
+    w = (weight.astype(jnp.int32) * (gt >= 0)
+         * (pred >= 0) * (pred < n_classes))
+    idx = (gt * n_classes + pred).reshape(-1)
     h = jnp.zeros((n_classes * n_classes,), jnp.int32)
     h = h.at[idx].add(w.reshape(-1), mode="drop")
     return h.reshape(n_classes, n_classes)

@@ -88,11 +88,9 @@ def hungarian_auction(cost: jnp.ndarray, num_iters: int = 500,
         owner_of_row = jnp.where(got_bid, row_winner, owner_of_row)
         # assign winners
         rows_idx = jnp.arange(nq)
-        win_rows = jnp.where(got_bid, rows_idx, nq)
         row_of_col = row_of_col.at[
             jnp.where(got_bid, row_winner, ng)].set(
                 jnp.where(got_bid, rows_idx, -1), mode="drop")
-        del win_rows
         n_unassigned = jnp.sum(row_of_col < 0)
         return it + 1, n_unassigned, prices, owner_of_row, row_of_col
 

@@ -64,6 +64,10 @@ def make_lr_schedule(tc: TrainConfig) -> optax.Schedule:
     def sched(step):
         t = jnp.asarray(step, jnp.float32)
         prog = (jnp.floor(t / spe) * spe / total) if spe > 0 else t / total
+        # clamp: stepping past total_steps (--max-steps overriding the
+        # config, or a long resume) must hold lr at min_lr, not anneal
+        # back up the cosine (mmcv never evaluates past max progress)
+        prog = jnp.minimum(prog, 1.0)
         # mmcv annealing_cos(start=base, end=min_lr, factor=prog)
         regular = min_lr + 0.5 * (base - min_lr) * (
             jnp.cos(jnp.pi * prog) + 1.0)
