@@ -64,7 +64,9 @@ class WordPieceVocab:
 
     def __init__(self, vocab_path: str, max_chars_per_word: int = 100):
         with open(vocab_path, encoding="utf-8") as f:
-            self.itos = [line.rstrip("\n") for line in f]
+            # rstrip \r too: a CRLF-checkout vocab.txt would otherwise
+            # leave '\r' on every token and degrade everything to [UNK]
+            self.itos = [line.rstrip("\r\n") for line in f]
         self.stoi = {w: i for i, w in enumerate(self.itos)}
         self.unk = self.stoi.get("[UNK]", 1)
         self.cls = self.stoi.get("[CLS]")

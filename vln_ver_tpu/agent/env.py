@@ -5,8 +5,9 @@ Loads the standard R2R data layout — ``{split}.json`` instruction episodes
 steps an agent over the navigation graph.  Per-viewpoint VER features come
 from the HDF5 produced by tools/get_occ.py (key = '{scan}_{viewpoint}').
 
-Matterport data is licence-gated, so a synthetic generator emits the same
-format (graph json + episodes + VER hdf5) for tests and rehearsal.
+Matterport data is licence-gated, so a synthetic generator builds the
+same structures in memory (graphs + episodes + VER features) for tests
+and rehearsal.
 
 The environment exposes static-shape observations keyed by stable node
 slots (viewpoint -> slot id assigned on first discovery, capacity
@@ -36,9 +37,16 @@ class NavGraph:
 
     def shortest_paths(self, src: str) -> Dict[str, Tuple[float, str]]:
         """Dijkstra: node -> (distance, first hop from src)."""
+        dist, first, _ = self._dijkstra(src)
+        return {k: (dist[k], first[k]) for k in dist}
+
+    def _dijkstra(self, src: str, allowed=None):
+        """Returns (dist, first-hop, predecessor) maps from ``src``;
+        ``allowed`` (a node set) restricts the search to that subgraph."""
         import heapq
         dist = {src: 0.0}
         first = {src: src}
+        prev = {src: src}
         heap = [(0.0, src)]
         seen = set()
         while heap:
@@ -47,12 +55,27 @@ class NavGraph:
                 continue
             seen.add(u)
             for v in self.edges[u]:
+                if allowed is not None and v not in allowed:
+                    continue
                 nd = d + self.distance(u, v)
                 if v not in dist or nd < dist[v] - 1e-9:
                     dist[v] = nd
                     first[v] = v if u == src else first[u]
+                    prev[v] = u
                     heapq.heappush(heap, (nd, v))
-        return {k: (dist[k], first[k]) for k in dist}
+        return dist, first, prev
+
+    def path(self, src: str, dst: str, allowed=None):
+        """Full shortest path [src..dst] (one Dijkstra, reconstructed
+        from the predecessor map), or None if unreachable; ``allowed``
+        restricts the walk to that node set."""
+        dist, _, prev = self._dijkstra(src, allowed)
+        if dst not in dist:
+            return None
+        hops = [dst]
+        while hops[-1] != src:
+            hops.append(prev[hops[-1]])
+        return hops[::-1]
 
 
 def load_connectivity(path: str) -> NavGraph:
@@ -96,6 +119,11 @@ class R2REnv:
 
     # -- helpers -------------------------------------------------------
     def _slot(self, state, vp: str) -> int:
+        # "seen" is the agent's PHYSICAL knowledge of the scan — every
+        # node ever discovered, never evicted (slot recycling frees
+        # memory slots, not knowledge); step() walks teleports over
+        # this subgraph only, honoring the discovered-edges semantics
+        state["seen"].add(vp)
         if vp not in state["slot_of"]:
             idx = len(state["slot_of"])
             if idx >= self.max_nodes:
@@ -133,7 +161,7 @@ class R2REnv:
         goal = ep["path"][-1]
         state = dict(ep=ep, graph=graph, cur=start, goal=goal,
                      slot_of={}, vp_of={}, steps=0, traj=[start],
-                     length=0.0, done=False,
+                     length=0.0, done=False, seen={start},
                      # decision-visited: nodes the policy has STOOD at
                      # (start + every chosen target); walk-through hops
                      # on multi-hop teleports are in traj but NOT here
@@ -154,17 +182,13 @@ class R2REnv:
         cur = state["cur"]
         token = f"{ep['scan']}_{cur}"
         volume = self.ver[token]
-        n = self.max_nodes
-        node_pos = np.zeros((n, 3), np.float32)
-        node_valid = np.zeros((n,), bool)
-        for vp, s in state["slot_of"].items():
-            node_pos[s] = graph.positions[vp]
-            node_valid[s] = True
+        # node positions/validity live in memory_arrays (the episodic
+        # memory is the single source of truth); duplicating them here
+        # was dead per-step host->device payload
         obs = dict(
             volume=volume.astype(np.float32),
             cur_pos=graph.positions[cur].astype(np.float32),
             cur_slot=np.int32(state["slot_of"][cur]),
-            node_pos=node_pos, node_valid=node_valid,
             instruction=ep["instruction_tokens"],
         )
         if self.objects is not None:
@@ -265,17 +289,21 @@ class R2REnv:
             state["done"] = True
             return
         graph = state["graph"]
-        sp = graph.shortest_paths(state["cur"])
-        if target not in sp:
+        # teleport along the DISCOVERED subgraph only (module docstring;
+        # DUET's topological-map semantics): routing over the full scan
+        # would cut through never-seen viewpoints, under-counting
+        # traj_length and inflating SPL/CLS/nDTW.  The discovered set is
+        # connected by construction (every node enters "seen" as a
+        # neighbour of a stood-at node), so a discovered target is
+        # always reachable.  ONE Dijkstra per teleport — the full path
+        # comes from the predecessor map, not a per-hop re-solve.
+        hops = graph.path(state["cur"], target, allowed=state["seen"])
+        if hops is None:
             state["done"] = True
             return
-        # walk the graph to the target (accumulating true path length)
-        cur = state["cur"]
-        while cur != target:
-            hop = graph.shortest_paths(cur)[target][1]
-            state["length"] += graph.distance(cur, hop)
-            cur = hop
-            state["traj"].append(cur)
+        for prev_vp, hop in zip(hops[:-1], hops[1:]):
+            state["length"] += graph.distance(prev_vp, hop)
+            state["traj"].append(hop)
         state["cur"] = target
         state["visited_dec"].add(target)
         self._discover(state)
@@ -288,7 +316,13 @@ class R2REnv:
         gt_len = 0.0
         for a, b in zip(ep["path"][:-1], ep["path"][1:]):
             gt_len += graph.distance(a, b)
-        spl = success * gt_len / max(state["length"], gt_len, 1e-6)
+        # SPL's l is the SHORTEST-path length start->goal (Anderson et
+        # al. 2018), NOT the annotated path length: on R4R the annotated
+        # paths are deliberately non-shortest, so gt_len would overstate
+        # the numerator.  gt_len stays the reference length for CLS.
+        sp0 = graph.shortest_paths(ep["path"][0])
+        short = sp0.get(state["goal"], (gt_len,))[0]
+        spl = success * short / max(state["length"], short, 1e-6)
         oracle = min(
             graph.distance(v, state["goal"]) for v in state["traj"])
         traj = np.stack([graph.positions[v] for v in state["traj"]])
@@ -305,8 +339,7 @@ class R2REnv:
             rgs = success * float(
                 state.get("pred_obj_id") == ep["objId"])
             out["rgs"] = rgs
-            out["rgspl"] = rgs * gt_len / max(state["length"], gt_len,
-                                              1e-6)
+            out["rgspl"] = rgs * short / max(state["length"], short, 1e-6)
         return out
 
     # -- path-fidelity metrics (R4R headline numbers) -------------------
@@ -340,12 +373,15 @@ def make_synthetic_vln(root: str, num_scans: int = 2, nodes_per_scan: int = 9,
                        embed_dims: int = 768, vocab: int = 100,
                        max_text_len: int = 16, seed: int = 0,
                        with_objects: bool = False, num_objects: int = 4):
-    """Grid-graph scans + random VER features + shortest-path episodes, in
-    the R2R on-disk format. Returns (episodes, graphs, ver_features); with
-    ``with_objects`` (REVERIE rehearsal) returns a 4th element: token ->
-    {"ids", "feats"} candidates, the episode's target object living at the
-    goal viewpoint with its feature keyed to instruction token 0 (so
-    grounding is learnable from the instruction)."""
+    """Grid-graph scans + random VER features + shortest-path episodes —
+    IN MEMORY, shaped exactly like the loaders' output (load_r2r_split /
+    load_graphs / load_ver_features), not written to disk; ``root`` is
+    accepted for call-site symmetry only.  Returns (episodes, graphs,
+    ver_features); with ``with_objects`` (REVERIE rehearsal) returns a
+    4th element: token -> {"ids", "feats"} candidates, each episode's
+    target object living at the goal viewpoint with its feature keyed to
+    instruction token 0 (so grounding is learnable from the
+    instruction)."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     graphs, ver = {}, {}
@@ -375,6 +411,7 @@ def make_synthetic_vln(root: str, num_scans: int = 2, nodes_per_scan: int = 9,
 
     objects = None
     signal = None
+    assigned: Dict[str, Dict[int, int]] = {}
     if with_objects:
         objects = {}
         signal = rng.standard_normal((vocab, embed_dims)).astype(
@@ -407,12 +444,24 @@ def make_synthetic_vln(root: str, num_scans: int = 2, nodes_per_scan: int = 9,
                   instructions=["synthetic"])
         if with_objects:
             token = f"{scan}_{goal}"
-            tgt = int(rng.integers(num_objects))
+            # one instruction keying per (viewpoint, object): a second
+            # episode sharing the goal must not overwrite an already
+            # keyed target (that would make the FIRST episode's
+            # grounding unlearnable) — claim a fresh object when one is
+            # free, else reuse an existing keying and align this
+            # episode's token-0 with it
+            amap = assigned.setdefault(token, {})
+            free = [i for i in range(num_objects) if i not in amap]
+            if free:
+                tgt = int(rng.choice(free))
+                amap[tgt] = int(toks[0])
+                objects[token]["feats"][tgt] = (
+                    objects[token]["feats"][tgt] * 0.1
+                    + 2.0 * signal[toks[0] % vocab])
+            else:
+                tgt = int(rng.integers(num_objects))
+                toks[0] = amap[tgt]
             ep["objId"] = objects[token]["ids"][tgt]
-            # key the target object's appearance to instruction token 0
-            objects[token]["feats"][tgt] = (
-                objects[token]["feats"][tgt] * 0.1
-                + 2.0 * signal[toks[0] % vocab])
         episodes.append(ep)
     if with_objects:
         return episodes, graphs, ver, objects

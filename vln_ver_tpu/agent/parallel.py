@@ -56,5 +56,7 @@ def shard_agent_batch(mesh: Mesh, batch):
 
 
 def replicate_agent(mesh: Mesh, tree):
-    """Replicate params / optimizer state across the mesh."""
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    """Replicate params / optimizer state across the mesh (the one
+    replication rule lives in parallel.mesh.replicate)."""
+    from ..parallel.mesh import replicate
+    return replicate(mesh, tree)

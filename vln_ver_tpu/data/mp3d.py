@@ -34,12 +34,14 @@ import numpy as np
 
 
 def _gravity_np(raw: np.ndarray) -> np.ndarray:
-    """(N, 7) raw (cx, cy, z_bottom, w, l, h, yaw) -> (N, 9) gravity boxes
-    with zero velocity — the numpy twin of boxes.gravity_boxes_from_raw
+    """(N, 7|9) raw (cx, cy, z_bottom, w, l, h, yaw[, vx, vy]) -> (N, 9)
+    gravity boxes — the numpy twin of boxes.gravity_boxes_from_raw
     (head:1311-1317), kept host-side so the dataloader never touches the
-    device (a jnp call here dispatches to the remote backend)."""
+    device (a jnp call here dispatches to the remote backend).  Velocity
+    columns pass through when present, zero otherwise; the ONE owner of
+    the host-side z_bottom->centre rule (nuscenes.py reuses it)."""
     out = np.zeros((raw.shape[0], 9), np.float32)
-    out[:, :7] = raw[:, :7]
+    out[:, :min(raw.shape[1], 9)] = raw[:, :9]
     out[:, 2] = raw[:, 2] + raw[:, 5] * 0.5
     return out
 

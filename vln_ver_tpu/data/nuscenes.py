@@ -73,12 +73,13 @@ class NuScenesAdapter:
         valid = np.zeros((self.max_gt,), bool)
         if n:
             raw = np.asarray(info["gt_boxes"], np.float32)[:n]
-            boxes[:n, :raw.shape[1]] = raw[:, :9]
             # z_bottom -> gravity centre: the training objective's batch
             # contract (train/objective.py) and the reference's loss
             # (head:1167-1179, cat(gravity_center, dims)) expect cz at
-            # the box centre; velocity columns (if present) pass through
-            boxes[:n, 2] = raw[:, 2] + raw[:, 5] * 0.5
+            # the box centre; _gravity_np owns the rule (velocity
+            # columns pass through)
+            from .mp3d import _gravity_np
+            boxes[:n] = _gravity_np(raw)
             labels[:n] = np.asarray(info["gt_labels"], np.int32)[:n]
             valid[:n] = True
         return dict(

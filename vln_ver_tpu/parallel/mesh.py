@@ -138,7 +138,15 @@ def parse_eval_mesh(arg: str) -> Mesh:
     if len(shape) != 2:
         raise ValueError(
             f"--mesh wants 'data' or 'data,view', got {arg!r}")
-    return make_mesh(shape, devices=jax.local_devices())
+    devices = jax.local_devices()
+    n = shape[0] * shape[1]
+    if n > len(devices):
+        raise ValueError(
+            f"--mesh {arg}: needs {n} devices, this process has "
+            f"{len(devices)}")
+    # subset meshes are legitimate (eval on 2 of 4 chips) — slice,
+    # don't trip make_mesh's exact-cover assert
+    return make_mesh(shape, devices=devices[:n])
 
 
 def data_axis_size(mesh: Mesh) -> int:
