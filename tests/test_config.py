@@ -55,3 +55,15 @@ def test_reference_config_loads_unchanged():
     assert ver.bev_num == 900
     assert ver.voxel_num == 504000
     assert ver.embed_dims == 768
+
+
+def test_nested_attribute_assignment_sticks():
+    """cfg.a.b.c = v (the mmcv-style nested mutation the attribute API
+    invites) must mutate the config — regression: __getattr__ returned a
+    fresh copy per access and the override silently vanished."""
+    from vln_ver_tpu.config.api import Config
+
+    cfg = Config(model=dict(pts_bbox_head=dict(only_occ=False)))
+    cfg.model.pts_bbox_head.only_occ = True
+    assert cfg["model"]["pts_bbox_head"]["only_occ"] is True
+    assert cfg.model.pts_bbox_head.only_occ is True

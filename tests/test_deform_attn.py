@@ -186,3 +186,27 @@ def test_voxel_deform_attn_3d_onehot_matches_gather():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_voxel_3d_onehot_matches_gather_on_depth1_level():
+    """A depth-1 level must hit the same bilinear special case in BOTH
+    3D impls (regression: the one-hot path trilinearly attenuated d=1
+    levels by a z-dependent 0.5-1.0 factor while the gather oracle
+    sampled bilinearly)."""
+    from vln_ver_tpu.ops.deform_attn import (voxel_deform_attn_3d,
+                                             voxel_deform_attn_3d_onehot)
+
+    rng = np.random.default_rng(11)
+    shapes = ((1, 5, 6), (3, 4, 4))      # depth-1 AND depth-3 levels
+    nv = sum(d * h * w for d, h, w in shapes)
+    bs, nq, nh, hd, npts = 2, 7, 2, 8, 3
+    value = jnp.asarray(rng.standard_normal(
+        (bs, nv, nh, hd)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(
+        0.05, 0.95, (bs, nq, nh, len(shapes), npts, 3)).astype(np.float32))
+    w = rng.uniform(0, 1, (bs, nq, nh, len(shapes), npts)).astype(np.float32)
+    w /= w.sum(axis=(-2, -1), keepdims=True)
+    w = jnp.asarray(w)
+    a = np.asarray(voxel_deform_attn_3d(value, shapes, loc, w))
+    b = np.asarray(voxel_deform_attn_3d_onehot(value, shapes, loc, w))
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)

@@ -94,6 +94,24 @@ def test_forward_only_occ():
         1, cfg.occ_zdim * cfg.bev_h * cfg.bev_w, cfg.occupancy_classes)
 
 
+def test_forward_only_occ_refined_matches_full_resolution():
+    """only_occ with refine_occ=True (the DEFAULT) must emit voxel_num
+    rows exactly like the full forward — regression: the only_occ branch
+    skipped the refine dispatch, producing a coarse grid the occ loss
+    and eval cannot consume."""
+    import dataclasses
+    cfg = dataclasses.replace(TINY, only_occ=True)
+    assert cfg.refine_occ
+    model = VoxelFormer(cfg)
+    batch = _tiny_batch(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0), *batch)
+    outs = model.apply(params, *batch)
+    assert outs["occupancy_preds"].shape == (
+        1, cfg.voxel_num, cfg.occupancy_classes)
+    assert np.isfinite(np.asarray(
+        outs["occupancy_preds"], np.float32)).all()
+
+
 def test_forward_deterministic_dropout_rngs():
     model = VoxelFormer(TINY)
     batch = _tiny_batch()

@@ -53,3 +53,19 @@ def test_tfrecord_framing_crcs_valid(tmp_path):
         n_records += 1
     assert n_records == 2  # file_version + one scalar
     assert np.isclose(read_scalars(w.path)[0][2], 1.0)
+
+
+def test_long_tag_roundtrips(tmp_path):
+    """Tags long enough to need multi-byte varint lengths (>= ~119 chars
+    pushes the Value submessage past 127 bytes) must round-trip —
+    regression: read_scalars decoded lengths as single bytes."""
+    from vln_ver_tpu.utils.tensorboard import SummaryWriter, read_scalars
+
+    tag = "train/" + "very_long_metric_name_" * 8   # ~182 chars
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar(tag, 0.125, 7)
+    w.close()
+    import glob
+    (path,) = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    rows = [r for r in read_scalars(path) if r[1] == tag]
+    assert rows == [(7, tag, 0.125)]

@@ -22,15 +22,23 @@ from ..train.state import TrainConfig
 
 
 class Config(dict):
-    """dict with attribute access, recursively."""
+    """dict with attribute access, recursively.
+
+    Nested dicts are wrapped IN PLACE on first attribute access (stored
+    back into the parent), so mmcv-style nested mutation —
+    ``cfg.model.pts_bbox_head.only_occ = True`` — sticks.  A
+    fresh-copy-per-access wrapper would hand the assignment a throwaway
+    object and silently drop the override."""
 
     def __getattr__(self, k):
         try:
             v = self[k]
         except KeyError as e:
             raise AttributeError(k) from e
-        return Config(v) if isinstance(v, dict) and not isinstance(
-            v, Config) else v
+        if isinstance(v, dict) and not isinstance(v, Config):
+            v = Config(v)
+            self[k] = v
+        return v
 
     def __setattr__(self, k, v):
         self[k] = v

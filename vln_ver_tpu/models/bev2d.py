@@ -59,7 +59,8 @@ class LearnedPositionalEncoding2D(nn.Module):
             jnp.broadcast_to(row[:, None, :], (self.bev_h, self.bev_w, nf)),
         ], axis=-1)  # (H, W, C), h-major flat order below
         pos = pos.reshape(1, -1, self.embed_dims).astype(self.dtype)
-        return jnp.repeat(pos, batch_size, axis=0)
+        # broadcast, don't materialise B copies (free for XLA)
+        return jnp.broadcast_to(pos, (batch_size,) + pos.shape[1:])
 
 
 @dataclasses.dataclass(frozen=True)

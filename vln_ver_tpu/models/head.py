@@ -334,6 +334,24 @@ class VoxelFormerOccupancyHead(nn.Module):
         logits = self._occ_logits_grid(x)
         return logits.reshape(logits.shape[0], -1, logits.shape[-1])
 
+    def _occupancy_dispatch(self, bev_embed, b):
+        """The one owner of the refine_occ / occ_layout resolution
+        dispatch — shared by the full forward and the only_occ branch so
+        both emit the SAME voxel count for a given config."""
+        cfg = self.cfg
+        if not cfg.refine_occ:
+            return self._occupancy_from_voxels(bev_embed, refined=False)
+        if cfg.occ_layout == "ref":
+            return self._occupancy_ref_layout(bev_embed)
+        if cfg.occ_layout == "zhwc_dense":
+            # naive upsample-then-project — the oracle for the
+            # bias-aware path (tests/test_occ_bias_aware.py)
+            vol = bev_embed.reshape(b, cfg.bev_z, cfg.bev_h,
+                                    cfg.bev_w, cfg.embed_dims)
+            vol = self.up_sample(vol)  # (B, Z, occ_y, occ_x, C)
+            return self._occupancy_from_voxels(vol, refined=True)
+        return self._occupancy_refined_bias_aware(bev_embed)
+
     def _occupancy_refined_bias_aware(self, bev_embed):
         """Bias-aware refine_occ (exact reformulation of
         upsample-then-project, tests/test_occ_bias_aware.py).
@@ -407,18 +425,14 @@ class VoxelFormerOccupancyHead(nn.Module):
         """Per-layer box decode (head:587-606): xy/z offsets added to
         inverse-sigmoid refs, sigmoided, scaled to ``value_range``; the
         remaining code dims stay raw."""
+        from .decoder import inverse_sigmoid
+
         lo = jnp.asarray(value_range[:3], dtype=jnp.float32)
         hi = jnp.asarray(value_range[3:], dtype=jnp.float32)
-
-        def inv_sig(v):
-            v = jnp.clip(v, 0.0, 1.0)
-            return jnp.log(jnp.clip(v, 1e-5, None)
-                           / jnp.clip(1.0 - v, 1e-5, None))
-
         xy = jax.nn.sigmoid(raw_preds[..., 0:2]
-                            + inv_sig(refs_before[..., 0:2]))
+                            + inverse_sigmoid(refs_before[..., 0:2]))
         z = jax.nn.sigmoid(raw_preds[..., 4:5]
-                           + inv_sig(refs_before[..., 2:3]))
+                           + inverse_sigmoid(refs_before[..., 2:3]))
         cx = xy[..., 0:1] * (hi[0] - lo[0]) + lo[0]
         cy = xy[..., 1:2] * (hi[1] - lo[1]) + lo[1]
         cz = z * (hi[2] - lo[2]) + lo[2]
@@ -453,8 +467,11 @@ class VoxelFormerOccupancyHead(nn.Module):
             if only_bev:
                 return {"bev_embed": bev_embed,
                         "sca_overflow": sca_overflow}
-            occupancy_preds = self._occupancy_from_voxels(
-                bev_embed, refined=False)
+            # SAME resolution dispatch as the full forward below —
+            # only_occ with refine_occ=True (the default) must emit
+            # voxel_num rows, not the coarse grid, or the occ loss /
+            # eval reshape against occ_dense crashes
+            occupancy_preds = self._occupancy_dispatch(bev_embed, b)
             return {
                 "bev_embed": bev_embed,
                 "all_cls_scores": None,
@@ -490,23 +507,7 @@ class VoxelFormerOccupancyHead(nn.Module):
 
         occupancy_preds = None
         if not cfg.only_det:
-            if cfg.refine_occ:
-                if cfg.occ_layout == "ref":
-                    occupancy_preds = self._occupancy_ref_layout(bev_embed)
-                elif cfg.occ_layout == "zhwc_dense":
-                    # naive upsample-then-project — the oracle for the
-                    # bias-aware path (tests/test_occ_bias_aware.py)
-                    vol = bev_embed.reshape(b, cfg.bev_z, cfg.bev_h,
-                                            cfg.bev_w, cfg.embed_dims)
-                    vol = self.up_sample(vol)  # (B, Z, occ_y, occ_x, C)
-                    occupancy_preds = self._occupancy_from_voxels(
-                        vol, refined=True)
-                else:
-                    occupancy_preds = self._occupancy_refined_bias_aware(
-                        bev_embed)
-            else:
-                occupancy_preds = self._occupancy_from_voxels(
-                    bev_embed, refined=False)
+            occupancy_preds = self._occupancy_dispatch(bev_embed, b)
 
         return {
             "bev_embed": bev_embed,

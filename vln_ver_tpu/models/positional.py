@@ -36,4 +36,5 @@ class VoxelLearnedPositionalEncoding(nn.Module):
         pos = (zed[:, None, None, :] + row[None, :, None, :]
                + col[None, None, :, :])  # (Z, H, W, C)
         pos = pos.reshape(1, -1, self.embed_dims).astype(self.dtype)
-        return jnp.repeat(pos, batch_size, axis=0)
+        # broadcast, don't materialise B copies (free for XLA)
+        return jnp.broadcast_to(pos, (batch_size,) + pos.shape[1:])

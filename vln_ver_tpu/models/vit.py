@@ -88,16 +88,22 @@ def preprocess_images(images: jnp.ndarray, image_size: int = 224,
                       mean: float = 0.5, std: float = 0.5) -> jnp.ndarray:
     """uint8/float (B, H, W, 3) -> resized + normalised (B, S, S, 3) fp32.
 
-    Bilinear resize + the timm/HF ViT-B/16 ImageNet normalisation
-    (mean=std=0.5 per channel).  Jittable; runs on device so raw panorama
-    views stream straight to the chip.
+    ANTIALIASED bilinear resize (explicit — jax.image.resize's
+    antialiased downscale approximates PIL's BILINEAR, which is what the
+    HF ViTImageProcessor for the ViT-B/16 lineage resamples with) + the
+    timm/HF ImageNet normalisation (mean=std=0.5 per channel).
+    Jittable; runs on device so raw panorama views stream straight to
+    the chip.  Fidelity note: a checkpoint trained on features from a
+    DIFFERENT host resize (e.g. bicubic) sees a small input drift on
+    the fused image path — feed native ``image_size`` views (no resize)
+    for bit-matched serving, as the MP3D rig does (224x224 sources).
     """
     import jax
     x = images.astype(jnp.float32) / 255.0
     if x.shape[1] != image_size or x.shape[2] != image_size:
         x = jax.image.resize(
             x, (x.shape[0], image_size, image_size, x.shape[3]),
-            method="bilinear")
+            method="bilinear", antialias=True)
     return (x - mean) / std
 
 

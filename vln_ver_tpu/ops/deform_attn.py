@@ -191,22 +191,30 @@ def voxel_deform_attn_3d_onehot(value: jnp.ndarray,
         loc = sampling_locations[:, :, :, lvl]          # (bs,nq,H,P,3)
         px = loc[..., 0] * w - 0.5
         py = loc[..., 1] * h - 0.5
-        pz = loc[..., 2] * d - 0.5
         x0 = jnp.floor(px)
         y0 = jnp.floor(py)
-        z0 = jnp.floor(pz)
         ax = (px - x0)[..., None]
         ay = (py - y0)[..., None]
-        az = (pz - z0)[..., None]
         ix = jnp.arange(w, dtype=px.dtype)
         iy = jnp.arange(h, dtype=py.dtype)
-        iz = jnp.arange(d, dtype=pz.dtype)
         X = ((ix == x0[..., None]) * (1 - ax)
              + (ix == x0[..., None] + 1) * ax)          # (bs,nq,H,P,w)
         Y = ((iy == y0[..., None]) * (1 - ay)
              + (iy == y0[..., None] + 1) * ay)          # (bs,nq,H,P,h)
-        Z = ((iz == z0[..., None]) * (1 - az)
-             + (iz == z0[..., None] + 1) * az)          # (bs,nq,H,P,d)
+        if d == 1:
+            # depth-1 level == the decoder_on_bev 2D semantics: full
+            # weight on the single z plane, exactly like the gather
+            # oracle's bilinear special case — a trilinear tap here
+            # would attenuate by a z-dependent 0.5-1.0 factor and leak
+            # z gradients through a grid with no z extent
+            Z = jnp.ones(px.shape + (1,), px.dtype)     # (bs,nq,H,P,1)
+        else:
+            pz = loc[..., 2] * d - 0.5
+            z0 = jnp.floor(pz)
+            az = (pz - z0)[..., None]
+            iz = jnp.arange(d, dtype=pz.dtype)
+            Z = ((iz == z0[..., None]) * (1 - az)
+                 + (iz == z0[..., None] + 1) * az)      # (bs,nq,H,P,d)
         wgt = attention_weights[:, :, :, lvl]           # (bs,nq,H,P)
         cdt = value.dtype
         prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32

@@ -20,13 +20,7 @@ def apply_platform_env() -> None:
         except Exception:
             pass
     # persistent compile cache: on this 1-core host + remote-compile TPU
-    # tunnel, recompiling the full model costs minutes per process
-    cache = os.environ.get(
-        "JAX_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # tunnel, recompiling the full model costs minutes per process.
+    # ONE owner of the recipe (cache path + threshold): utils.bench.
+    from .bench import enable_compile_cache
+    enable_compile_cache()

@@ -160,13 +160,24 @@ def read_scalars(path: str):
                 if field == 5:
                     summary = record[i:i + ln]
                 i += ln
-        # decode Summary -> Value(tag, simple_value)
+        # decode Summary -> Value(tag, simple_value).  Lengths are
+        # VARINTS — a single-byte read would misparse any submessage or
+        # tag >= 128 bytes (long nested metric names), which the writer
+        # itself can produce.
+        def _varint(buf, k):
+            val = shift = 0
+            while True:
+                b = buf[k]
+                k += 1
+                val |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    return val, k
         j = 0
         while j < len(summary):
             key = summary[j]
             j += 1
-            ln = summary[j]
-            j += 1
+            ln, j = _varint(summary, j)
             val_msg = summary[j:j + ln]
             j += ln
             k, tag, value = 0, None, None
@@ -175,8 +186,7 @@ def read_scalars(path: str):
                 vfield, vwire = vkey >> 3, vkey & 7
                 k += 1
                 if vwire == 2:
-                    vln = val_msg[k]
-                    k += 1
+                    vln, k = _varint(val_msg, k)
                     if vfield == 1:
                         tag = val_msg[k:k + vln].decode()
                     k += vln
