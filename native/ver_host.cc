@@ -29,14 +29,6 @@ void ver_dense_from_sparse(const int64_t* idx, const int64_t* cls,
   }
 }
 
-// Strip the CLS token from a (1, P+1, C) fp32 ViT feature and write the
-// (P, C) patch block (P = hw*hw).
-void ver_strip_cls(const float* in, int64_t num_patches, int64_t channels,
-                   float* out) {
-  std::memcpy(out, in + channels,
-              sizeof(float) * static_cast<size_t>(num_patches) * channels);
-}
-
 // Parallel collation: stack n_src equal-size fp32 blocks into out.
 void ver_collate_f32(const float** srcs, int64_t n_src, int64_t elems,
                      float* out, int32_t n_threads) {

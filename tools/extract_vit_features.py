@@ -149,11 +149,15 @@ def main(argv=None):
             jax.random.PRNGKey(0),
             jnp.zeros((1, args.image_size, args.image_size, 3)))
 
+    # params must be a jit ARGUMENT: closing over the ~86M-param tree
+    # bakes ~344 MB of constants into the HLO, which the axon tunnel's
+    # compile endpoint rejects (HTTP 413 — same failure fixed in
+    # tools/serve_ver.py and tools/probe_upload_quant.py)
     @jax.jit
-    def forward(images_u8):
+    def forward(params, images_u8):
         x = preprocess_images(images_u8, args.image_size, args.mean,
                               args.std)
-        return model.apply(variables, x)
+        return model.apply(params, x)
 
     import h5py
     store_dtype = np.dtype(args.store_dtype)
@@ -169,7 +173,7 @@ def main(argv=None):
         if pad:
             batch = np.concatenate(
                 [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
-        feats = np.asarray(jax.device_get(forward(batch)))[:len(keys)]
+        feats = np.asarray(jax.device_get(forward(variables, batch)))[:len(keys)]
         for k, ft in zip(keys, feats):
             fout.create_dataset(k, data=ft[None].astype(store_dtype),
                                 compression="gzip")

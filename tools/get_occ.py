@@ -130,7 +130,11 @@ def main():
                 scan, vp = infos[0]["token"].split("_")
                 with h5py.File(img_path, "r") as f:
                     imgs_missing = f"{scan}_{vp}_i1_0" not in f
-    if imgs_missing and not args.synthetic:
+    if imgs_missing and (not args.synthetic or args.image_file):
+        # a custom --image-file is a hard contract even under
+        # --synthetic: regeneration writes the DEFAULT
+        # panorama_images.hdf5, never the custom path, so proceeding
+        # would fail later with an obscure h5py error
         raise FileNotFoundError(
             f"--from-images: {img_path} is missing (or lacks this "
             "split's keys); extract panorama views first or pass "

@@ -41,14 +41,11 @@ def main():
     p.add_argument("--impls", default="onehot")
     args = p.parse_args()
 
+    # platform re-assert + persistent compile cache, from the ONE owner
+    # of the recipe (utils.platform -> utils.bench)
+    from vln_ver_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     import jax
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
 
     from vln_ver_tpu.models import VERConfig, VoxelFormer

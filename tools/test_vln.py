@@ -30,6 +30,10 @@ def parse_args():
                    choices=["R2R", "R4R", "REVERIE"])
     p.add_argument("--objects", default=None,
                    help="REVERIE candidate-objects pkl, or 'synthetic'")
+    p.add_argument("--bert-vocab", default=None,
+                   help="BERT vocab.txt for checkpoints trained with "
+                        "--bert-vocab (else the train split's vocab is "
+                        "rebuilt for tokenization)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--embed-dims", type=int, default=None)
     p.add_argument("--work-dir", default="work_dirs/vln")
@@ -73,11 +77,20 @@ def main():
         else:
             episodes, graphs, ver = made
     else:
-        from vln_ver_tpu.agent.data import (load_graphs, load_r2r_split,
+        from vln_ver_tpu.agent.data import (WordPieceVocab, load_graphs,
+                                            load_r2r_split,
                                             load_ver_features)
         dims = args.embed_dims or 768
-        episodes, vocab = load_r2r_split(args.data_dir, args.split, None,
-                                         80, prefix=args.benchmark)
+        # tokenize with the TRAINING vocab (ids are corpus-frequency
+        # dependent): rebuilding one from the eval split would index the
+        # restored embedding rows with wrong token ids — shape-mismatch
+        # at restore when sizes differ, silent garbage when they don't
+        vocab0 = (WordPieceVocab(args.bert_vocab) if args.bert_vocab
+                  else load_r2r_split(args.data_dir, "train", None, 80,
+                                      prefix=args.benchmark)[1])
+        episodes, vocab = load_r2r_split(args.data_dir, args.split,
+                                         vocab0, 80,
+                                         prefix=args.benchmark)
         cfg = PolicyConfig(embed_dims=dims, vocab_size=len(vocab))
         graphs = load_graphs(args.connectivity,
                              [e["scan"] for e in episodes])

@@ -34,8 +34,13 @@ def grid_mask_features(rng: jax.Array, features: jnp.ndarray,
     # materially stronger augmentation for ~half the sampled periods
     keep = jnp.clip(jnp.floor(d.astype(jnp.float32) * ratio
                               + 0.5).astype(jnp.int32), 1, d - 1)
-    ox = jax.random.randint(k_ox, (b,), 0, max_period)
-    oy = jax.random.randint(k_oy, (b,), 0, max_period)
+    # phases uniform over [0, d) like the reference's randint(d)
+    # (grid_mask.py): drawing from [0, max_period) and relying on the
+    # later % d would bias the phase distribution whenever d doesn't
+    # divide max_period (e.g. d=3, max_period=8 -> probs 3/8, 3/8, 2/8)
+    df = d.astype(jnp.float32)
+    ox = jnp.floor(jax.random.uniform(k_ox, (b,)) * df).astype(jnp.int32)
+    oy = jnp.floor(jax.random.uniform(k_oy, (b,)) * df).astype(jnp.int32)
 
     ys = jnp.arange(h)[None, :, None]            # (1, H, 1)
     xs = jnp.arange(w)[None, None, :]            # (1, 1, W)

@@ -44,9 +44,6 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64, ctypes.c_int32]
-            lib.ver_strip_cls.argtypes = [
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-                ctypes.c_int64, ctypes.POINTER(ctypes.c_float)]
             lib.ver_collate_f32.argtypes = [
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
                 ctypes.c_int64, ctypes.c_int64,
@@ -93,6 +90,14 @@ def collate_f32(arrays) -> np.ndarray:
     arrays = [np.ascontiguousarray(a, dtype=np.float32) for a in arrays]
     if lib is None:
         return np.stack(arrays)
+    # ragged input must fail LOUDLY on both paths: np.stack raises, but
+    # the native memcpy would read arrays[0].size elements out of bounds
+    # from a smaller buffer (silent garbage or a segfault)
+    shape0 = arrays[0].shape
+    if any(a.shape != shape0 for a in arrays[1:]):
+        raise ValueError(
+            f"collate_f32: ragged shapes "
+            f"{sorted({a.shape for a in arrays})}")
     n = len(arrays)
     elems = int(arrays[0].size)
     out = np.empty((n,) + arrays[0].shape, dtype=np.float32)

@@ -26,7 +26,13 @@ def dense_from_sparse_np(sparse: np.ndarray, voxel_num: int,
     """
     dense = np.full(voxel_num, empty_class, dtype=np.int32)
     if len(sparse):
-        dense[sparse[:, 0].astype(np.int64)] = sparse[:, 1]
+        idx = sparse[:, 0].astype(np.int64)
+        # bounds-check like the native kernel (ver_host.cc drops
+        # out-of-range indices): raw fancy indexing would WRAP negative
+        # indices into the wrong voxel or raise on overflow — same
+        # input must yield the same labels with or without the toolchain
+        k = (idx >= 0) & (idx < voxel_num)
+        dense[idx[k]] = sparse[:, 1][k]
     return dense
 
 

@@ -186,8 +186,18 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
                      s["origin_shift"]) if quant else
                     (s[input_key], s["world2pixel"], s["origin_shift"]))
         else:
-            host = ((feats, scales, w2p, shift) if quant
-                    else (feats, w2p, shift))
+            # pad the short FINAL batch here too: an odd trailing shape
+            # re-traces the jitted forward — a second full-size compile
+            # costs minutes through the tunnel.  fetch_vol slices the
+            # pad rows off with `real`.
+            def pad(a):
+                a = np.asarray(a)
+                if real < batch_size:
+                    a = np.concatenate(
+                        [a, np.repeat(a[-1:], batch_size - real, 0)])
+                return a
+            host = ((pad(feats), pad(scales), pad(w2p), pad(shift))
+                    if quant else (pad(feats), pad(w2p), pad(shift)))
             args = tuple(jax.device_put(x) for x in host)
         return args, list(batch["token"]), real
 
@@ -257,6 +267,18 @@ def dump_volumes(bev_only, params, ver, dataset, savename: str,
             serial_file.close()
         if transfer is not None:
             transfer.shutdown(wait=False)
+        # an exception above skips the success path's sentinel: the
+        # writer thread would then block in write_q.get() forever,
+        # holding savename open in HDF5 append mode — the NEXT
+        # dump/remove of that file in this process hits the HDF5 lock.
+        # A duplicate sentinel on the success path is harmless (the
+        # writer already exited on the first).
+        if wt is not None and wt.is_alive():
+            try:
+                write_q.put(None, timeout=30)
+            except queue_mod.Full:
+                pass   # writer wedged on something else; don't hang too
+            wt.join(timeout=30)
     dt = time.perf_counter() - t0
     overflow = (int(jax.device_get(overflow_dev))
                 if overflow_dev is not None else 0)
