@@ -148,3 +148,34 @@ def test_tsa_matches_torch_reference_transcription():
         out_t0 = torch_tsa(tq, value0, href0)
     np.testing.assert_allclose(np.asarray(out_j0), out_t0.numpy(),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tsa_shift_reachable_through_full_forward():
+    """tsa_shift plumbs end-to-end (detector -> head -> transformer ->
+    TSA): a nonzero ego shift must change the temporal forward, and
+    obtain_history_bev derives it from the origin-shift deltas
+    (regression: the capability existed only for direct only_bev
+    callers)."""
+    import jax.numpy as jnp
+
+    model = VoxelFormer(TSA_CFG)
+    batch = _tiny_batch(cfg=TSA_CFG)
+    params = model.init(jax.random.PRNGKey(0), *batch)
+    prev = model.apply(params, *batch, only_bev=True)["bev_embed"]
+    base = model.apply(params, *batch, prev_bev=prev,
+                       only_bev=True)["bev_embed"]
+    shifted = model.apply(
+        params, *batch, prev_bev=prev,
+        tsa_shift=jnp.full((1, 3), 0.25, jnp.float32),
+        only_bev=True)["bev_embed"]
+    assert float(jnp.max(jnp.abs(shifted - base))) > 1e-6
+
+    # history roll with MOVING origins exercises the derived shift
+    q = lambda a: jnp.stack([a, a], axis=1)
+    feats, w2p, shift0 = batch
+    shifts = jnp.stack([shift0, shift0 + 1.0], axis=1)
+    hist = model.apply(params, method=model.obtain_history_bev,
+                       features_queue=q(feats),
+                       world2pixel_queue=q(w2p),
+                       origin_shift_queue=shifts)
+    assert np.isfinite(np.asarray(hist, np.float32)).all()

@@ -131,6 +131,13 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: VERConfig
     reference key that is absent, so silent partial conversion is
     impossible.
     """
+    if cfg.use_temporal_self_attn:
+        raise NotImplementedError(
+            "convert_state_dict: temporal (TSA) configs are not mapped "
+            "— the per-layer temporal_self_attn/norm0 params would be "
+            "silently dropped.  The reference's shipped configs are "
+            "non-temporal (vocc.py); extend the mapping before "
+            "converting a temporal checkpoint.")
     sd = {k: np.asarray(v) for k, v in sd.items()}
     consumed = set()
 
@@ -333,6 +340,12 @@ def export_state_dict(params: dict, cfg: VERConfig) -> Dict[str, np.ndarray]:
     the dead ``img_backbone/img_neck`` and loss buffers the reference
     registers itself.
     """
+    if cfg.use_temporal_self_attn:
+        raise NotImplementedError(
+            "export_state_dict: temporal (TSA) configs are not mapped "
+            "— the per-layer temporal_self_attn/norm0 params would be "
+            "silently dropped (fail-loud per the bitwise round-trip "
+            "contract).")
     head = params["pts_bbox_head"]
     h = "pts_bbox_head"
     out: Dict[str, np.ndarray] = {}
@@ -422,7 +435,14 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # safe path first: tensors-only unpickling (mmcv checkpoints
+        # usually load fine); fall back for metadata that needs full
+        # pickle — only do that with checkpoints you trust, torch.load's
+        # weights_only=False executes arbitrary pickle code
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else
             np.asarray(v) for k, v in sd.items()}

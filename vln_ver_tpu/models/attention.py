@@ -261,9 +261,13 @@ class SpatialCrossAttention(nn.Module):
             # broadcast over cameras; every camera attends from all
             # queries; invisible contributions are masked away.
             attn_out = deform(query, value, ref, spatial_shapes)
+            # fp32 cross-camera accumulation (the deform-accumulation
+            # invariant; the capacity path's einsum above enforces the
+            # same via preferred_element_type — a bf16 reduction here
+            # would make the two documented-exact paths diverge)
             slots = jnp.sum(
                 attn_out * qmask[..., None].astype(attn_out.dtype),
-                axis=1)                                # (B, nq, C)
+                axis=1, dtype=jnp.float32)             # (B, nq, C)
 
         # Per-query camera hit count (any anchor visible), as in
         # spatial_cross_attention.py:170-173.
@@ -393,6 +397,12 @@ class MultiheadAttention(nn.Module):
             key = query
         if value is None:
             value = key
+        if key_pos is None and query_pos is not None \
+                and query_pos.shape == key.shape:
+            # mmcv's self-attention defaulting (MultiheadAttention.
+            # forward): a pos-less key against a pos'd query would make
+            # the q/k logits asymmetric where the reference's are not
+            key_pos = query_pos
         if query_pos is not None:
             query = query + query_pos
         if key_pos is not None:

@@ -32,10 +32,10 @@ class VoxelFormer(nn.Module):
             self.cfg, name="pts_bbox_head")
 
     def __call__(self, features: jnp.ndarray, world2pixel: jnp.ndarray,
-                 origin_shift: jnp.ndarray, prev_bev=None,
+                 origin_shift: jnp.ndarray, prev_bev=None, tsa_shift=None,
                  deterministic: bool = True, only_bev: bool = False):
         return self.pts_bbox_head(features, world2pixel, origin_shift,
-                                  prev_bev=prev_bev,
+                                  prev_bev=prev_bev, tsa_shift=tsa_shift,
                                   deterministic=deterministic,
                                   only_bev=only_bev)
 
@@ -52,9 +52,20 @@ class VoxelFormer(nn.Module):
 
         t_len = features_queue.shape[1]
         prev = None
+        cfg = self.cfg
+        import jax.numpy as jnp
+        extent = jnp.asarray(cfg.pc_range[3:], jnp.float32) - jnp.asarray(
+            cfg.pc_range[:3], jnp.float32)
         for t in range(t_len):
+            # ego displacement in NORMALISED grid units: a world point at
+            # normalised r in frame t sits at r + (origin_t -
+            # origin_{t-1})/extent in the previous frame's grid — the
+            # TSA slot-0 shift (temporal.py shift semantics)
+            shift = (None if prev is None else
+                     (origin_shift_queue[:, t]
+                      - origin_shift_queue[:, t - 1]) / extent)
             prev = jax.lax.stop_gradient(self.pts_bbox_head(
                 features_queue[:, t], world2pixel_queue[:, t],
-                origin_shift_queue[:, t], prev_bev=prev,
+                origin_shift_queue[:, t], prev_bev=prev, tsa_shift=shift,
                 deterministic=True, only_bev=True)["bev_embed"])
         return prev

@@ -65,6 +65,7 @@ class VoxelEncoderLayer(nn.Module):
                 num_levels=cfg.num_levels, num_points=cfg.tsa_num_points,
                 num_bev_queue=cfg.num_bev_queue,
                 dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+                deform_impl=cfg.deform_impl,
                 name="temporal_self_attn")(
                     query, prev_bev, ref_2d,
                     ((cfg.bev_z, cfg.bev_h, cfg.bev_w),),

@@ -441,8 +441,8 @@ class VoxelFormerOccupancyHead(nn.Module):
 
     # ------------------------------------------------------------------
     def __call__(self, features, world2pixel, origin_shift,
-                 prev_bev=None, deterministic: bool = True,
-                 only_bev: bool = False):
+                 prev_bev=None, tsa_shift=None,
+                 deterministic: bool = True, only_bev: bool = False):
         """features (B, num_cams, feat_h, feat_w, C); world2pixel
         (B, num_cams, 4, 4); origin_shift (B, 3); prev_bev optional
         (B, bev_num, C) voxel grid of the previous frame (TSA queue).
@@ -462,7 +462,7 @@ class VoxelFormerOccupancyHead(nn.Module):
         if only_bev or cfg.only_occ:
             bev_embed, sca_overflow = self.transformer.get_voxel_features(
                 features, voxel_queries, world2pixel, origin_shift,
-                prev_bev=prev_bev, bev_pos=bev_pos,
+                prev_bev=prev_bev, bev_pos=bev_pos, tsa_shift=tsa_shift,
                 deterministic=deterministic)
             if only_bev:
                 return {"bev_embed": bev_embed,
@@ -486,7 +486,7 @@ class VoxelFormerOccupancyHead(nn.Module):
             self.transformer(
             features, voxel_queries, self.query_embedding,
             world2pixel, origin_shift, prev_bev=prev_bev, bev_pos=bev_pos,
-            deterministic=deterministic)
+            tsa_shift=tsa_shift, deterministic=deterministic)
 
         all_cls_scores = jnp.stack([
             self.cls_branches[l](hs[l]) for l in range(cfg.decoder_layers)

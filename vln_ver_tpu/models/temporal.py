@@ -27,7 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import voxel_deform_attn_3d
+from ..ops import (voxel_deform_attn_3d,
+                   voxel_deform_attn_3d_onehot)
 from .attention import _offset_grid_init_3d
 
 
@@ -39,6 +40,7 @@ class VoxelTemporalSelfAttention(nn.Module):
     num_bev_queue: int = 2
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    deform_impl: str = "onehot"   # 'gather' | 'onehot' (parity-tested)
 
     @nn.compact
     def __call__(self, query: jnp.ndarray,
@@ -139,8 +141,14 @@ class VoxelTemporalSelfAttention(nn.Module):
         locations = (ref[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
 
-        out = voxel_deform_attn_3d(v.astype(jnp.float32), spatial_shapes,
-                                   locations, attn)
+        # same impl dispatch as the decoder's 3D deform: the MXU
+        # one-hot default avoids the take_along_axis gathers that
+        # dominated the decoder's cost (tools/probe_decoder.py);
+        # 'gather' stays as the oracle
+        sample = (voxel_deform_attn_3d if self.deform_impl == "gather"
+                  else voxel_deform_attn_3d_onehot)
+        out = sample(v.astype(jnp.float32), spatial_shapes,
+                     locations, attn)
         # average prev/current slots (":262-263")
         out = out.reshape(bsz, queue, nq, self.embed_dims).mean(axis=1)
         out = nn.Dense(self.embed_dims, name="output_proj",

@@ -141,7 +141,7 @@ class VoxelTransformer(nn.Module):
 
     def __call__(self, features, bev_queries, object_query_embed,
                  world2pixel, origin_shift, prev_bev=None, bev_pos=None,
-                 deterministic: bool = True):
+                 tsa_shift=None, deterministic: bool = True):
         """Full encoder+decoder pass.
 
         Returns (voxel_embed (B, bev_num, C),
@@ -156,7 +156,7 @@ class VoxelTransformer(nn.Module):
         cfg = self.cfg
         voxel_embed, overflow = self.get_voxel_features(
             features, bev_queries, world2pixel, origin_shift,
-            prev_bev=prev_bev, bev_pos=bev_pos,
+            prev_bev=prev_bev, bev_pos=bev_pos, tsa_shift=tsa_shift,
             deterministic=deterministic)
 
         b = features.shape[0]
