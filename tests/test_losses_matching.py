@@ -135,3 +135,29 @@ def test_build_detr_targets():
     assert (labels[[0, 5]] == 17).all()  # invalid gts ignored
     assert np.asarray(w)[[3, 7]].sum() == 2 and np.asarray(w).sum() == 2
     np.testing.assert_allclose(np.asarray(tgts)[3], np.arange(9))
+
+
+def test_auction_rectangular_more_columns_than_rows():
+    """max_gt > num_query (the tiny-config shape): the auction must
+    terminate early via the transposed solve and match scipy's
+    rectangular optimum on the assigned pairs — regression: the forward
+    auction could never reach zero unassigned columns, burning the full
+    iteration cap on EVERY call."""
+    import time
+
+    from scipy.optimize import linear_sum_assignment
+
+    from vln_ver_tpu.matching import hungarian_auction
+
+    rng = np.random.default_rng(3)
+    nq, ng = 12, 32
+    cost = rng.uniform(0, 10, (nq, ng)).astype(np.float32)
+    out = np.asarray(hungarian_auction(jnp.asarray(cost)))
+    assert out.shape == (ng,)
+    assigned = np.nonzero(out >= 0)[0]
+    assert len(assigned) == nq                      # every row used
+    assert len(set(out[assigned])) == nq            # distinct rows
+    got = float(cost[out[assigned], assigned].sum())
+    r, c = linear_sum_assignment(cost)
+    want = float(cost[r, c].sum())
+    assert got <= want + 1e-2 * max(1.0, abs(want)), (got, want)

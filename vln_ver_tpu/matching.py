@@ -9,16 +9,24 @@ Two interchangeable solvers over the same padded-cost contract:
   does not support host callbacks, so this solver is CPU-only; it serves as
   the exactness oracle in tests.
 * ``hungarian_auction`` — fully in-graph Jacobi auction algorithm
-  (``lax.while_loop``), eps-scaled; near-optimal, collective-free and
-  TPU-native — the default matcher inside the pjit'd train step.
+  (``lax.while_loop``) with a FIXED eps (spread-derived) and an
+  iteration cap; eps-optimal on typical cost matrices, collective-free
+  and TPU-native — the default matcher inside the pjit'd train step.
+  (No eps-scaling phases: adversarially near-tied costs can hit the
+  cap, in which case unconverged columns return -1 and are dropped by
+  build_detr_targets — the scipy host solver is the exactness oracle.)
 
 Contract: ``cost`` is ``(num_query, max_gt)`` with invalid (padded) GT
 columns filled with a constant JUST ABOVE the real maximum (see
 train/objective.py:_match_layer — the pad value does not change the real
 assignment, but the auction's eps scales with the global cost spread, so
 an astronomically large pad destroys its eps-optimality on the real
-columns); every GT column gets a distinct query row; the caller masks out
-padded columns afterwards.
+columns).  With ``num_query >= max_gt`` every GT column gets a distinct
+query row; with FEWER queries than padded columns the auction solves the
+transposed (rectangular) problem — ``num_query`` columns matched at
+minimum cost, the rest returned unmatched (-1) — which still covers
+every VALID GT as long as the real GT count is <= num_query.  The
+caller masks out padded columns afterwards.
 """
 
 from __future__ import annotations
@@ -58,6 +66,20 @@ def hungarian_auction(cost: jnp.ndarray, num_iters: int = 500,
     optimum; ties may resolve differently (same total cost).
     """
     nq, ng = cost.shape
+    if ng > nq:
+        # MORE columns than rows (e.g. tiny configs where max_gt >
+        # num_query): a perfect column matching is impossible, so the
+        # forward auction would never terminate (the ng - nq poorest
+        # columns bid forever — previously this burned the full
+        # iteration cap on EVERY call).  Solve the transposed problem —
+        # rows bid for columns, perfect matching exists, standard
+        # termination is eps-optimal — and convert back.
+        col_of_row = hungarian_auction(cost.T, num_iters=num_iters,
+                                       eps_scale=eps_scale)      # (nq,)
+        rows_idx = jnp.arange(nq, dtype=jnp.int32)
+        return jnp.full((ng,), -1, jnp.int32).at[
+            jnp.where(col_of_row >= 0, col_of_row, ng)].set(
+                rows_idx, mode="drop")
     value = -cost.astype(jnp.float32).T          # (ng, nq), maximise
     spread = jnp.maximum(jnp.max(value) - jnp.min(value), 1.0)
     eps = spread * eps_scale / (ng + 1)
@@ -97,7 +119,8 @@ def hungarian_auction(cost: jnp.ndarray, num_iters: int = 500,
     def cond(state):
         # true early exit (typical convergence is tens of iterations; the
         # cap is a safety net) — integer outputs, nothing differentiates
-        # through this loop
+        # through this loop.  ng <= nq holds here (the ng > nq case is
+        # transposed above), so zero-unassigned is always reachable.
         return (state[1] > 0) & (state[0] < num_iters)
 
     init = (jnp.asarray(0), jnp.asarray(ng), jnp.zeros(nq),

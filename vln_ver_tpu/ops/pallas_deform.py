@@ -37,8 +37,10 @@ from .deform_attn import ms_deform_attn_2d_onehot
 
 def _kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, num_heads,
             num_points, head_dim):
-    """One grid step == one batch element (refs carry a leading block dim
-    of 1).
+    """One grid step == one (batch element, query tile) pair — the grid
+    is 2D (bs, nq_pad // tile) and the refs carry a leading block dim of
+    1 with a TILED query axis (see _TQ; the v2 kernel docstring
+    describes the tiled layout in full).
 
     loc_ref:   (1, nq, heads*P*2) fp32 normalized (x, y) pairs
     w_ref:     (1, nq, heads*P)   fp32 attention weights

@@ -15,6 +15,7 @@ from collections import defaultdict
 from typing import Dict
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 _means: Dict[str, list] = defaultdict(lambda: [0.0, 0])
@@ -59,8 +60,15 @@ def trace(logdir: str):
 
 def grad_report(grads, limit: int = 10) -> list:
     """Names of parameters with all-zero gradients — the reference's
-    GradChecker hook semantics (models/hooks/hooks.py:5-12)."""
+    GradChecker hook semantics (models/hooks/hooks.py:5-12).
+
+    ONE device fetch for the whole tree: a per-leaf ``bool(jnp.any(g))``
+    would pay one dispatch + host round trip per parameter leaf —
+    minutes for hundreds of leaves at the axon backend's tens-of-ms
+    RTT."""
     flat = jax.tree_util.tree_flatten_with_path(grads)[0]
-    zero = [jax.tree_util.keystr(k) for k, g in flat
-            if not bool(jnp.any(jnp.asarray(g)))]
+    nonzero = np.asarray(jnp.stack(
+        [jnp.any(jnp.asarray(g)) for _, g in flat]))
+    zero = [jax.tree_util.keystr(k)
+            for (k, _), nz in zip(flat, nonzero) if not bool(nz)]
     return zero[:limit]
