@@ -134,26 +134,11 @@ def main():
     # forwards INSIDE one jit — serialized by a data dependency — and fetch
     # a single scalar.  Wall time then measures device compute, and the
     # one-off RTT is subtracted out by differencing two scan lengths.
-    def run_n(n):
-        @jax.jit
-        def fn(params, feats, w2p, shift):
-            def body(carry, _):
-                f = feats + carry * jnp.bfloat16(0)
-                outs = model.apply(params, f, w2p, shift,
-                                   deterministic=True)
-                # reduce over EVERY head output: a benchmark only pays
-                # for what it consumes (XLA dead-code-eliminates the
-                # rest — the decoder was silently DCE'd when only
-                # bev+occ were summed, discovered when the decoder
-                # one-hot rewrite didn't move this number)
-                s = (jnp.sum(outs["bev_embed"].astype(jnp.float32))
-                     + jnp.sum(outs["occupancy_preds"].astype(jnp.float32))
-                     + jnp.sum(outs["all_cls_scores"].astype(jnp.float32))
-                     + jnp.sum(outs["all_bbox_preds"].astype(jnp.float32)))
-                return s.astype(jnp.bfloat16), ()
-            s, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=n)
-            return s
-        return fn
+    # The scan body lives in utils.bench.full_forward_scan — the ONE
+    # builder bench_sweep shares, reducing over EVERY head output (a
+    # bev+occ-only reduction let XLA DCE the decoder, round 4).
+    from vln_ver_tpu.utils.bench import full_forward_scan
+    run_n = full_forward_scan(model)
 
     stats = scan_diff_time_stats(run_n, (params, feats, w2p, shift), iters,
                                  warmup=warmup, repeats=repeats)
@@ -183,7 +168,8 @@ def main():
         # shape-stamped cache dir: a config change can't silently reuse a
         # stale on-disk dataset with the wrong shapes
         tag = (f"e2e_c{cfg.num_cams}_f{cfg.feat_h}x{cfg.in_channels}"
-               f"_n{n_vol}")
+               f"_o{cfg.occ_zdim}x{cfg.occ_ydim}x{cfg.occ_xdim}"
+               f"_r{abs(hash(tuple(cfg.pc_range))) % 10**8}_n{n_vol}")
         ds = _e2e_dataset(cfg, n_vol, os.path.join(here, ".bench_data",
                                                    tag))
 
@@ -227,7 +213,7 @@ def main():
                      input_cast=upload)
         rates = []
         e2e_overflow = 0
-        for _ in range(int(os.environ.get("BENCH_E2E_PASSES", "2"))):
+        for _ in range(max(1, int(os.environ.get("BENCH_E2E_PASSES", "2")))):
             os.remove(out_h5)
             res = dump_volumes(bev_only, params, cfg, ds, out_h5,
                                batch_size=batch, input_cast=upload)
@@ -282,12 +268,14 @@ def main():
         dump_volumes(bev_images, fused_params, cfg, ds_img, out_h5,
                      batch_size=batch, input_key="images")
         img_rates = []
-        for _ in range(int(os.environ.get("BENCH_E2E_PASSES", "2"))):
+        img_overflow = 0
+        for _ in range(max(1, int(os.environ.get("BENCH_E2E_PASSES", "2")))):
             os.remove(out_h5)
             res = dump_volumes(bev_images, fused_params, cfg, ds_img,
                                out_h5, batch_size=batch,
                                input_key="images")
             img_rates.append(res["volumes_per_sec"])
+            img_overflow = max(img_overflow, res["sca_overflow"])
         img_vps = float(np.median(img_rates))
         try:
             os.remove(out_h5)
@@ -341,6 +329,10 @@ def main():
     if img_vps is not None:
         line["e2e_from_images"] = round(img_vps, 4)
         line["e2e_from_images_rates"] = [round(r, 4) for r in img_rates]
+        if img_overflow:
+            # self-describing: an overflowed (truncated) image-path rate
+            # must not read as a clean exact number
+            line["e2e_from_images_sca_overflow"] = int(img_overflow)
     print(json.dumps(line))
 
 

@@ -12,11 +12,16 @@ Note: the axon PJRT backend does not support host callbacks
 
 import os
 
+import re
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+# FORCE the count to 8 — a pre-existing different value (e.g. a CI
+# wrapper exporting =1) would fail the multi-device sharding tests with
+# confusing mesh-size errors instead of being corrected here
+_flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                os.environ.get("XLA_FLAGS", "")).strip()
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 

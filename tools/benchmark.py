@@ -69,9 +69,17 @@ def main():
             def body(carry, _):
                 outs = model.apply(params, feats + carry * 0, w2p, shift,
                                    deterministic=True, only_bev=only_bev)
+                # reduce over EVERY output the mode produces — a bench
+                # only pays for what it consumes; summing bev+occ alone
+                # let XLA DCE the whole DETR decoder (the exact bug
+                # bench.py documents discovering)
                 s = jnp.sum(outs["bev_embed"].astype(jnp.float32))
                 if not only_bev:
                     s += jnp.sum(outs["occupancy_preds"].astype(
+                        jnp.float32))
+                    s += jnp.sum(outs["all_cls_scores"].astype(
+                        jnp.float32))
+                    s += jnp.sum(outs["all_bbox_preds"].astype(
                         jnp.float32))
                 return s.astype(feats.dtype), ()
             s, _ = jax.lax.scan(body, jnp.zeros((), feats.dtype), None,

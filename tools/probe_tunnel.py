@@ -10,7 +10,7 @@ plus a tiny round-trip for RTT, so an e2e delta can be checked against
 the bandwidth the tunnel actually delivered that session.
 
 Prints one JSON dict (MB/s per direction, per size, plus rtt_ms).
-Compile-free (no jit) — safe to run any time the chip is idle.
+Warm-shape measurement (the per-shape completion-fetch program is compiled outside the timed loop) — safe to run any time the chip is idle.
 """
 
 from __future__ import annotations
@@ -57,6 +57,11 @@ def main():
         # INCOMPRESSIBLE payload: a zeros buffer would flatter any
         # transport-level compression the tunnel applies
         host = rng.standard_normal((n,)).astype(np.float16)
+        # warm the per-shape slice program OUTSIDE the timed loop: the
+        # completion fetch below (darr[:1]) compiles a small gather per
+        # payload shape, which would otherwise land in the first
+        # repeat's upload time (and dominate it at --repeats 1)
+        _ = np.asarray(jax.device_put(host, dev)[:1])
         up, down = [], []
         darr = None
         for _ in range(args.repeats):

@@ -28,8 +28,12 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:  # pragma: no cover - config drift across jax
+        # the cache is LOAD-BEARING here (full-size compiles through the
+        # tunnel cost 5-10+ min) — degrade loudly, not silently
+        import sys
+        print(f"WARNING: persistent compile cache NOT enabled ({e!r}); "
+              "expect multi-minute recompiles", file=sys.stderr)
 
 
 def scan_diff_time_stats(make_fn: Callable[[int], Callable], args: tuple,
@@ -73,7 +77,17 @@ def scan_diff_time_stats(make_fn: Callable[[int], Callable], args: tuple,
     t_longs = [t for t, _ in samples]
     out = samples[-1][1]
     assert np.isfinite(out), out
-    per_iter = [max(t - t_short, 1e-6) / iters for t in t_longs]
+    # a long-program sample timing BELOW min(t_short) is noise inversion
+    # (tiny workloads / a wild tunnel session) — DROP it rather than
+    # clamp it: a clamped near-zero diff would become the min and print
+    # an absurd headline throughput with no error
+    per_iter = [(t - t_short) / iters for t in t_longs
+                if t - t_short > 0]
+    if not per_iter:
+        raise RuntimeError(
+            "scan_diff_time: every long-program sample timed at or "
+            "below the short program — the workload is too small (or "
+            "the session too noisy) to difference; raise `iters`")
     best = min(per_iter)
     return dict(
         sec_per_iter=best,
@@ -90,3 +104,32 @@ def scan_diff_time(make_fn: Callable[[int], Callable], args: tuple,
     return scan_diff_time_stats(make_fn, args, iters, warmup=warmup,
                                 base_len=base_len,
                                 repeats=repeats)["sec_per_iter"]
+
+
+def full_forward_scan(model):
+    """The ONE scan-body builder bench.py and tools/bench_sweep.py share,
+    so the compiled program (and the compile-cache key) cannot drift
+    between them: ``run_n(n)`` returns a jitted fn scanning ``n`` full
+    forwards serialized by a data dependency, reducing over EVERY head
+    output (a bev+occ-only reduction lets XLA DCE the whole DETR
+    decoder — the round-4 bench-honesty bug)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run_n(n):
+        @jax.jit
+        def fn(params, feats, w2p, shift):
+            def body(carry, _):
+                f = feats + carry * jnp.bfloat16(0)
+                outs = model.apply(params, f, w2p, shift,
+                                   deterministic=True)
+                s = (jnp.sum(outs["bev_embed"].astype(jnp.float32))
+                     + jnp.sum(outs["occupancy_preds"].astype(jnp.float32))
+                     + jnp.sum(outs["all_cls_scores"].astype(jnp.float32))
+                     + jnp.sum(outs["all_bbox_preds"].astype(jnp.float32)))
+                return s.astype(jnp.bfloat16), ()
+            s, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=n)
+            return s
+        return fn
+
+    return run_n
